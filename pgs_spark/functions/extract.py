@@ -1,0 +1,84 @@
+"""Vectorized import/dependency-reference extraction from source content.
+
+Graft of PGS_Conversion.toDualGraph's phase 1 (PGS_Conversion.java:1068-1085):
+each raw record (face) is decomposed into its boundary keys (canonical PEdges);
+here each source file is decomposed into the repo names it imports. Per the
+input_hint this is a *vectorized* pandas/Arrow UDF — one Arrow batch at a time,
+`pandas.Series.str.findall` per language, zero per-row Python UDF calls.
+
+The UDF also re-hashes the content it actually saw (sha256), so the pipeline
+can assert row-for-row that the Arrow transfer did not mutate the input — the
+per-row invariant required by BASELINE.json (`content sha256 equality`).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Anchored per-language import patterns. The filler/decoy lines in the
+# synthetic corpus (and real code comments) contain the word "import" inside
+# strings/comments; anchoring to line start keeps extraction honest.
+LANG_PATTERNS = {
+    "python": r"(?m)^\s*(?:import|from)\s+(repo_\w+)",
+    "java": r"(?m)^\s*import\s+(?:static\s+)?(repo_\w+)\.",
+    "js": r"(?m)require\(\s*['\"](repo_\w+)['\"]\s*\)",
+}
+
+_RESULT_TYPE = T.StructType(
+    [
+        T.StructField("refs", T.ArrayType(T.StringType()), False),
+        T.StructField("content_sha", T.StringType(), False),
+    ]
+)
+
+
+@F.pandas_udf(_RESULT_TYPE)
+def extract_refs(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """Arrow-batched extraction: content×lang → (refs array, sha256-as-seen)."""
+    refs = pd.Series([[]] * len(content), index=content.index, dtype=object)
+    for lg, pattern in LANG_PATTERNS.items():
+        mask = lang == lg
+        if mask.any():
+            refs[mask] = content[mask].str.findall(pattern)
+    sha = content.map(lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest())
+    return pd.DataFrame({"refs": refs, "content_sha": sha})
+
+
+def normalize_ref(ref: Column) -> Column:
+    """Fuzzy import→repo key normalization (the `fixBreaks` near-miss snapping
+    analog, PGS_Meshing.java:1009-1031): case-fold and strip wrapping space so
+    near-miss spellings resolve to the same repo key before the join."""
+    return F.lower(F.trim(ref))
+
+
+def with_refs(code_files: DataFrame, verify_sha: bool = True) -> DataFrame:
+    """code_files → one row per (repo, ref) import reference.
+
+    Pushes the lang filter and column pruning *before* the Arrow UDF (cheap
+    predicates first — the PGS_CirclePacking.java:289-296 discipline), explodes
+    the per-file ref arrays, and optionally fails rows whose content hash
+    changed in flight.
+    """
+    langs = list(LANG_PATTERNS)
+    base = code_files.filter(F.col("lang").isin(langs)).select(
+        "repo", "lang", "content", *(["sha256"] if verify_sha else [])
+    )
+    extracted = base.withColumn("ext", extract_refs(F.col("content"), F.col("lang")))
+    if verify_sha:
+        extracted = extracted.filter(F.col("ext.content_sha") == F.col("sha256"))
+    return (
+        extracted.select("repo", F.explode("ext.refs").alias("ref"))
+        .select("repo", normalize_ref(F.col("ref")).alias("ref"))
+    )
+
+
+def sha_violations(code_files: DataFrame) -> int:
+    """Count rows whose UDF-observed sha256 differs from the stamped one
+    (must be 0 — the round-trip integrity check of SURVEY §5.6)."""
+    ext = code_files.withColumn("ext", extract_refs(F.col("content"), F.col("lang")))
+    return ext.filter(F.col("ext.content_sha") != F.col("sha256")).count()

@@ -1,0 +1,191 @@
+"""PageRank: power iteration with teleport, dangling-mass redistribution,
+per-superstep convergence metrics, and resumable checkpoints.
+
+The iteration template is the reference's convergence loop
+(PGS_Meshing.smoothMesh, PGS_Meshing.java:803-814: ``do { delta = smooth(...) }
+while (delta > cutoff && iter < max)``) and its two-phase superstep barrier
+(commons/PMesh.java:237-270 computes all new positions, then flips). The
+per-superstep convergence/error bookkeeping mirrors TangencyPack's superstep
+solver (commons/TangencyPack.java:248-296: iterate, measure residual, stop on
+tolerance with a max-pass guard).
+
+Spark plan per superstep (sparse gather-scatter):
+  contribs = weighted_edges ⋈ ranks on src        (hash join; edges side is
+             pre-hash-partitioned on src once, so only the small ranks side
+             shuffles each superstep; AQE skew-join splits hub partitions)
+  gathered = contribs.groupBy(dst).sum            (map-side partial agg; an
+             optional salted two-stage agg splits hub dst keys explicitly)
+  ranks'   = (1-α)/N + α·(gathered + dangling_mass/N)
+  delta    = Σ|ranks' − ranks|                    (one action, fused with the
+             next iteration's dangling-mass sum — a single pass)
+
+State per superstep is |V| rows — tiny relative to |E| — so checkpointing every
+iteration is cheap and gives both flat lineage and mid-convergence resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators import skew
+from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame          # (id: long, rank: double)
+    iterations: int
+    converged: bool
+    history: list = field(default_factory=list)  # per-superstep metric dicts
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    salt_buckets: int | None = None,
+    num_partitions: int | None = None,
+    collect_skew_metrics: bool = False,
+    fixed_iterations: int | None = None,
+) -> PageRankResult:
+    """Power-iteration PageRank over a directed edge table (src, dst).
+
+    Matches networkx.pagerank semantics: teleport (1-alpha)/N, dangling mass
+    redistributed uniformly, L1 convergence test. `fixed_iterations` runs an
+    exact number of supersteps with no convergence test (for oracles).
+    """
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # ---- one-time build (persisted across supersteps) -----------------------
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # vstate: (id, outdeg|null). Dangling vertices have null outdeg.
+    vstate = (
+        verts.join(outdeg, verts.id == outdeg.src, "left")
+        .select("id", "outdeg")
+        .persist()
+    )
+    n = vstate.count()
+    n_dangling = vstate.filter(F.col("outdeg").isNull()).count()
+    if n == 0:
+        return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, True)
+
+    # weighted edges: contribution weight 1/outdeg; hash-partitioned on the
+    # join key ONCE so the per-superstep join only shuffles the ranks side.
+    w_edges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .repartition(num_partitions, "src")
+        .persist()
+    )
+    w_edges.count()  # materialize before the loop
+
+    cp = None
+    start_iter = 0
+    ranks = None
+    d_mass = float(n_dangling) / n  # all ranks equal at iter 0 → analytic
+    history: list[dict] = []
+    if checkpoint_dir:
+        cp = CheckpointManager(spark, checkpoint_dir, fingerprint_edges(edges))
+        resumed = cp.resume_point()
+        if resumed is None:
+            cp.clear()  # stale state from a different input — never mix
+        else:
+            start_iter, ranks, m = resumed
+            d_mass = m.get("dangling_mass", d_mass)
+            if m.get("delta", 1.0) < tol and fixed_iterations is None:
+                return PageRankResult(ranks.select("id", "rank"), start_iter, True, history)
+    if ranks is None:
+        ranks = vstate.select("id", F.lit(1.0 / n).alias("rank")).persist()
+
+    teleport = (1.0 - alpha) / n
+    limit = fixed_iterations if fixed_iterations is not None else max_iter
+    converged = False
+    prev_persisted = ranks
+
+    for it in range(start_iter, limit):
+        t0 = time.time()
+        contribs = w_edges.join(ranks.select("id", "rank"), w_edges.src == F.col("id")).select(
+            "dst", (F.col("rank") * F.col("w")).alias("contrib")
+        )
+        if salt_buckets:
+            gathered = skew.salted_sum(contribs, "dst", "contrib", salt_buckets)
+        else:
+            gathered = contribs.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
+        new_ranks = (
+            vstate.join(gathered, vstate.id == gathered.dst, "left")
+            .select(
+                "id",
+                "outdeg",
+                (
+                    F.lit(teleport)
+                    + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
+                ).alias("rank"),
+            )
+        )
+
+        new_ranks = new_ranks.persist()
+        # One fused action: L1 delta + next iteration's dangling mass.
+        stats = (
+            new_ranks.select("id", "outdeg", F.col("rank").alias("new_rank"))
+            .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
+            .agg(
+                F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("delta"),
+                F.sum(
+                    F.when(F.col("outdeg").isNull(), F.col("new_rank")).otherwise(0.0)
+                ).alias("d_mass"),
+            )
+            .first()
+        )
+        delta = float(stats["delta"])
+        d_mass = float(stats["d_mass"] or 0.0)
+        metrics = {
+            "iteration": it + 1,
+            "delta": delta,
+            "dangling_mass": d_mass,
+            "seconds": time.time() - t0,
+        }
+        if collect_skew_metrics:
+            metrics["skew_ratio_dst"] = skew.skew_ratio(contribs, "dst")
+        history.append(metrics)
+        if cp:
+            reread = cp.save(new_ranks, it + 1, metrics)  # re-read: flat lineage
+            cp.prune(keep_last=2)
+            new_ranks.unpersist()
+            new_ranks = reread
+        else:
+            # No durable checkpoint requested: still truncate lineage so the
+            # logical plan stays flat across supersteps (plans that nest one
+            # join+agg per iteration make Catalyst analysis cost grow
+            # superlinearly with iteration count).
+            flat = new_ranks.localCheckpoint(eager=True)
+            new_ranks.unpersist()
+            new_ranks = flat
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_ranks
+        ranks = new_ranks
+        iterations = it + 1
+        if fixed_iterations is None and delta < tol:
+            converged = True
+            break
+    else:
+        iterations = start_iter if limit <= start_iter else limit
+
+    vstate.unpersist()
+    w_edges.unpersist()
+    if fixed_iterations is not None:
+        converged = True
+    return PageRankResult(ranks.select("id", "rank"), iterations, converged, history)

@@ -1,0 +1,118 @@
+"""Superstep checkpointing with manifests — resumable iteration state.
+
+The reference's frame-loop recompute (examples/leafColoring.pde:16-18) maps to
+batch supersteps with durable state (SURVEY §2.10): every iteration writes the
+vertex-state DataFrame plus a JSON manifest carrying iteration number, input
+fingerprint, convergence metrics, and per-partition lineage. A restarted run
+reads the newest manifest and resumes mid-convergence — Spark's own
+``checkpoint()`` truncates lineage but does not survive a driver restart, so
+state is persisted as parquet snapshots (Iceberg in production; same layout).
+
+Writing state back out and reading it in ALSO truncates lineage, which keeps
+the per-superstep plan flat instead of growing with iteration count — the
+two-phase "compute all, then flip" barrier of PMesh.smoothScaled
+(commons/PMesh.java:237-270) expressed as an immutable snapshot swap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointManager:
+    """Manages `<dir>/state_<iter>/` parquet snapshots + `manifest_<iter>.json`."""
+
+    def __init__(self, spark: SparkSession, directory: str, input_fingerprint: str = ""):
+        self.spark = spark
+        self.dir = directory
+        self.fingerprint = input_fingerprint
+        os.makedirs(directory, exist_ok=True)
+
+    # -- write ---------------------------------------------------------------
+    def save(self, state: DataFrame, iteration: int, metrics: dict | None = None) -> DataFrame:
+        """Persist one superstep's vertex state; returns the re-read DataFrame
+        (flat lineage). Per-partition lineage (row counts by partition) is
+        recorded in the manifest."""
+        path = os.path.join(self.dir, f"state_{iteration:05d}")
+        state.write.mode("overwrite").parquet(path)
+        reread = self.spark.read.parquet(path)
+        part_rows = [
+            (r["pid"], r["rows"])
+            for r in reread.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("rows"))
+            .collect()
+        ]
+        manifest = {
+            "iteration": iteration,
+            "path": path,
+            "input_fingerprint": self.fingerprint,
+            "wall_clock": time.time(),
+            "partitions": sorted(part_rows),
+            "metrics": metrics or {},
+        }
+        with open(os.path.join(self.dir, f"manifest_{iteration:05d}.json"), "w") as f:
+            json.dump(manifest, f)
+        return reread
+
+    # -- read ----------------------------------------------------------------
+    def latest(self) -> dict | None:
+        """Newest manifest dict, or None if no checkpoint exists."""
+        if not os.path.isdir(self.dir):
+            return None
+        manifests = sorted(
+            n for n in os.listdir(self.dir) if n.startswith("manifest_") and n.endswith(".json")
+        )
+        if not manifests:
+            return None
+        with open(os.path.join(self.dir, manifests[-1])) as f:
+            return json.load(f)
+
+    def load(self, manifest: dict) -> DataFrame:
+        return self.spark.read.parquet(manifest["path"])
+
+    def resume_point(self) -> tuple[int, DataFrame, dict] | None:
+        """(iteration, state, metrics) of the newest checkpoint, if any, and
+        only if it belongs to the same input (fingerprint match)."""
+        m = self.latest()
+        if m is None or m.get("input_fingerprint") != self.fingerprint:
+            return None
+        return m["iteration"], self.load(m), m.get("metrics", {})
+
+    def clear(self) -> None:
+        """Remove all snapshots + manifests (e.g. stale state from a different
+        input fingerprint — resuming across inputs would be wrong)."""
+        for name in list(os.listdir(self.dir)):
+            full = os.path.join(self.dir, name)
+            if name.startswith("state_"):
+                shutil.rmtree(full, ignore_errors=True)
+            elif name.startswith("manifest_"):
+                os.remove(full)
+
+    def prune(self, keep_last: int = 2) -> None:
+        """Drop all but the newest `keep_last` snapshots (bounded storage)."""
+        manifests = sorted(
+            n for n in os.listdir(self.dir) if n.startswith("manifest_")
+        )
+        for name in manifests[:-keep_last] if keep_last else manifests:
+            with open(os.path.join(self.dir, name)) as f:
+                m = json.load(f)
+            shutil.rmtree(m["path"], ignore_errors=True)
+            os.remove(os.path.join(self.dir, name))
+
+
+def fingerprint_edges(edges: DataFrame) -> str:
+    """Order-insensitive content fingerprint of an edge table: count plus an
+    xor/sum of per-row hashes (cheap single aggregation; deterministic under
+    any partitioning — the determinism discipline of PGS_Conversion.java:1088).
+    """
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+    ).first()
+    return f"{row['n']}:{row['h']}"

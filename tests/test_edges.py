@@ -1,0 +1,71 @@
+"""Edge derivation + canonicalization invariants (FIXTURES.md §2)."""
+
+from pyspark.sql import functions as F
+
+from pgs_spark.functions.extract import with_refs
+from pgs_spark.operators.edges import (
+    adjacency,
+    canonicalize,
+    degrees,
+    derive_edges,
+    integrity_report,
+    vertices,
+)
+from pgs_spark.sources.generator import generate_code_files, repo_table
+from tests.conftest import TRIANGLE_PLUS_TAIL, edges_df
+
+
+def test_derive_edges_known(spark):
+    rows = [
+        ("repo_00000", "python", "import repo_00001\nimport repo_00002"),
+        ("repo_00001", "python", "import repo_00000\nimport repo_00000"),  # dup ref
+        ("repo_00002", "python", "import repo_00002"),  # self-import → dropped
+        ("repo_00001", "python", "import repo_99999"),  # unknown target → dropped
+    ]
+    cf = spark.createDataFrame(rows, "repo string, lang string, content string").withColumn(
+        "sha256", F.sha2(F.col("content"), 256)
+    )
+    repos = repo_table(spark, 3)
+    ids = {r["repo"]: r["repo_id"] for r in repos.collect()}
+    edges = derive_edges(with_refs(cf), repos)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {
+        (ids["repo_00000"], ids["repo_00001"]),
+        (ids["repo_00000"], ids["repo_00002"]),
+        (ids["repo_00001"], ids["repo_00000"]),
+    }
+
+
+def test_canonicalize_invariants(spark):
+    e = edges_df(spark, [(2, 1), (1, 2), (3, 3), (1, 4), (4, 1)])
+    und = canonicalize(e)
+    rep = integrity_report(und)
+    assert rep == {"self_loops": 0, "non_canonical": 0, "duplicate_edges": 0}
+    assert {(r["src"], r["dst"]) for r in und.collect()} == {(1, 2), (1, 4)}
+
+
+def test_degree_sum_is_twice_edges(spark):
+    und = canonicalize(edges_df(spark, TRIANGLE_PLUS_TAIL))
+    deg = {r["id"]: r["degree"] for r in degrees(und).collect()}
+    assert deg == {0: 2, 1: 2, 2: 3, 3: 1}
+    assert sum(deg.values()) == 2 * und.count()
+
+
+def test_adjacency_sorted_csr(spark):
+    und = canonicalize(edges_df(spark, TRIANGLE_PLUS_TAIL))
+    adj = {r["src"]: (list(r["nbrs"]), r["deg"]) for r in adjacency(und).collect()}
+    assert adj[2] == ([0, 1, 3], 3)
+    assert all(nbrs == sorted(nbrs) for nbrs, _ in adj.values())
+
+
+def test_full_pipeline_integrity(spark):
+    cf = generate_code_files(spark, n_repos=50, n_files=500, seed=42).persist()
+    refs = with_refs(cf).persist()
+    repos = repo_table(spark, 50)
+    directed = derive_edges(refs, repos).persist()
+    und = canonicalize(directed)
+    rep = integrity_report(und)
+    assert rep == {"self_loops": 0, "non_canonical": 0, "duplicate_edges": 0}
+    assert vertices(directed).count() <= 50
+    for df in (cf, refs, directed):
+        df.unpersist()

@@ -1,0 +1,111 @@
+"""PageRank correctness: closed forms, differential oracle, resume (SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+from pgs_spark.operators.pagerank import pagerank
+from tests.conftest import CYCLE4, DANGLING, PAIR, STAR10, edges_df
+from tests.oracles import random_graph, ref_pagerank
+
+
+def _collect(res):
+    return {r["id"]: r["rank"] for r in res.ranks.collect()}
+
+
+def _assert_matches_oracle(spark, pairs, fixed=12, atol=1e-12, **kw):
+    e = edges_df(spark, pairs)
+    got = _collect(pagerank(spark, e, fixed_iterations=fixed, **kw))
+    want = ref_pagerank(pairs, fixed_iterations=fixed)
+    assert set(got) == set(want)
+    ids = sorted(got)
+    assert np.allclose([got[i] for i in ids], [want[i] for i in ids], atol=atol)
+
+
+def test_cycle_symmetric(spark):
+    """Directed 4-cycle: ranks stay exactly 0.25 (closed form)."""
+    got = _collect(pagerank(spark, edges_df(spark, CYCLE4), tol=1e-9, max_iter=5))
+    assert np.allclose(list(got.values()), 0.25, atol=1e-12)
+
+
+def test_pair_with_dangling_oracle(spark):
+    _assert_matches_oracle(spark, PAIR)
+
+
+def test_dangling_redistribution(spark):
+    _assert_matches_oracle(spark, DANGLING)
+    # rank mass must stay 1.0 despite vertex 1 having no out-edges
+    got = _collect(pagerank(spark, edges_df(spark, DANGLING), fixed_iterations=8))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_star_hub_dominates(spark):
+    e = edges_df(spark, STAR10 + [(b, a) for a, b in STAR10])
+    got = _collect(pagerank(spark, e, fixed_iterations=10))
+    hub = got[0]
+    assert all(hub > 3 * v for k, v in got.items() if k != 0)
+
+
+def test_salted_path_matches_plain(spark):
+    pairs = random_graph(40, 0.1, seed=3, directed=True)
+    e = edges_df(spark, pairs)
+    plain = _collect(pagerank(spark, e, fixed_iterations=6))
+    salted = _collect(pagerank(spark, e, fixed_iterations=6, salt_buckets=4))
+    ids = sorted(plain)
+    assert np.allclose([plain[i] for i in ids], [salted[i] for i in ids], atol=1e-12)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_random_graphs_fixed_iterations(spark, k):
+    pairs = random_graph(30 + 7 * k, 0.12, seed=100 + k, directed=True)
+    _assert_matches_oracle(spark, pairs, fixed=10)
+
+
+def test_convergence_to_1e6(spark):
+    """North-rule check: converged scores match the oracle within 1e-6."""
+    pairs = symmetrize_pairs(random_graph(25, 0.15, seed=5))
+    e = edges_df(spark, pairs)
+    res = pagerank(spark, e, tol=1.5e-7, max_iter=200)
+    assert res.converged
+    got = _collect(res)
+    want = ref_pagerank(pairs)  # oracle to machine precision
+    ids = sorted(got)
+    assert np.allclose([got[i] for i in ids], [want[i] for i in ids], atol=1e-6)
+    # history carries per-superstep metrics (north rule)
+    assert all("delta" in h and "dangling_mass" in h for h in res.history)
+    assert res.history[-1]["delta"] < 1.5e-7
+
+
+def symmetrize_pairs(pairs):
+    return sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    """FIXTURES.md §5: interrupt after 3 supersteps, resume → final state
+    equal to an uninterrupted run (to float-summation reproducibility: shuffle
+    merge order is nondeterministic, so distributed sums differ in the last
+    ulps between any two runs; 1e-13 ≪ the 1e-6 correctness tolerance)."""
+    pairs = random_graph(30, 0.12, seed=9, directed=True)
+    e = edges_df(spark, pairs)
+    cp = str(tmp_path / "ck")
+
+    interrupted = pagerank(spark, e, fixed_iterations=3, checkpoint_dir=cp)
+    assert interrupted.iterations == 3
+    resumed = pagerank(spark, e, fixed_iterations=10, checkpoint_dir=cp)
+    straight = pagerank(spark, e, fixed_iterations=10)
+
+    a = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in straight.ranks.collect()}
+    assert set(a) == set(b)
+    ids = sorted(a)
+    assert np.allclose([a[i] for i in ids], [b[i] for i in ids], atol=1e-13)
+    # resume actually skipped work: only supersteps 4..10 ran
+    assert len(resumed.history) == 7
+
+
+def test_checkpoint_ignores_other_input(spark, tmp_path):
+    cp = str(tmp_path / "ck2")
+    e1 = edges_df(spark, random_graph(20, 0.2, seed=1, directed=True))
+    e2 = edges_df(spark, random_graph(20, 0.2, seed=2, directed=True))
+    pagerank(spark, e1, fixed_iterations=3, checkpoint_dir=cp)
+    res = pagerank(spark, e2, fixed_iterations=4, checkpoint_dir=cp)
+    assert len(res.history) == 4  # fingerprint mismatch → fresh start
