@@ -1,0 +1,132 @@
+"""ANSI-SQL oracle generators for the iterative graph operators.
+
+The driver verifies every `queries()` entry against DuckDB running these SQL
+strings on the same parquet tables. Iterative algorithms are *unrolled* to a
+fixed superstep count (chained CTEs — one join+aggregate pair per superstep,
+exactly the engine's per-superstep plan), so oracle and engine execute the
+same fixed-point recurrence and must agree to float reproducibility.
+
+This mirrors the reference's differential-testing discipline: an independent
+implementation (JTS Polygonizer) validating the optimized one
+(FastPolygonizerTests.java:100-137).
+"""
+
+from __future__ import annotations
+
+
+def sym_cte(edges_cte: str = "e") -> str:
+    return f"SELECT src AS u, dst AS v FROM {edges_cte} UNION ALL SELECT dst, src FROM {edges_cte}"
+
+
+def pagerank_sql(edges_sql: str, iterations: int = 10, alpha: float = 0.85, round_to: int = 6) -> str:
+    """Unrolled power iteration with dangling-mass redistribution.
+
+    Reproduces the engine's exact update: r' = (1-a)/N + a*(gather + dm/N).
+    The (1-alpha) literal is emitted via Python repr so both engines use the
+    bit-identical double constant.
+    """
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
+        "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0/o.outdeg AS w FROM e JOIN odeg o ON e.src = o.id)",
+        "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS rank, o.outdeg FROM verts v CROSS JOIN nn "
+        "LEFT JOIN odeg o ON v.id = o.id)",
+    ]
+    prev = "r0"
+    teleport = repr(1.0 - alpha)
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN outdeg IS NULL THEN rank END), 0) AS dm FROM {prev})"
+        )
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT w.dst AS id, SUM(r.rank * w.w) AS m FROM w JOIN {prev} r "
+            f"ON w.src = r.id GROUP BY w.dst)"
+        )
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, {teleport}/nn.n + {alpha!r}*(COALESCE(g.m, 0) "
+            f"+ (SELECT dm FROM d{i})/nn.n) AS rank, v.outdeg "
+            f"FROM r0 v CROSS JOIN nn LEFT JOIN g{i} g ON v.id = g.id)"
+        )
+        prev = f"r{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank_r FROM {prev}"
+    )
+
+
+def lpa_sql(edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled synchronous LPA, tie-break (max count, then min label) —
+    byte-identical semantics to operators/label_propagation.py."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"sym AS MATERIALIZED ({sym_cte()})",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym)",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s.u AS id, l.label, COUNT(*) AS cnt FROM sym s "
+            f"JOIN {prev} l ON s.v = l.id GROUP BY s.u, l.label)"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT id, MIN(label) AS new_label FROM "
+            f"(SELECT id, label, cnt, MAX(cnt) OVER (PARTITION BY id) AS mx FROM c{i}) t "
+            f"WHERE cnt = mx GROUP BY id)"
+        )
+        parts.append(
+            f"l{i} AS MATERIALIZED (SELECT l.id, COALESCE(b.new_label, l.label) AS label "
+            f"FROM {prev} l LEFT JOIN b{i} b ON l.id = b.id)"
+        )
+        prev = f"l{i}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, label FROM {prev}"
+
+
+def components_sql(edges_sql: str) -> str:
+    """Transitive-closure CC via recursive CTE (min reachable id)."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+sym AS ({sym_cte()}),
+verts AS (SELECT DISTINCT u AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT s.u, reach.r FROM sym s JOIN reach ON s.v = reach.id
+)
+SELECT id, MIN(r) AS component FROM reach GROUP BY id
+"""
+
+
+def triangle_count_sql(canonical_edges_sql: str) -> str:
+    """Triangles by id-ordered 3-way join over canonical (src<dst) edges."""
+    return f"""
+WITH e AS ({canonical_edges_sql})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+
+
+def bfs_sql(edges_sql: str, max_hops: int = 8) -> str:
+    """Min hop distance from the graph's minimum vertex id."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+sym AS ({sym_cte()}),
+walk(id, dist) AS (
+    SELECT (SELECT MIN(u) FROM sym), 0
+    UNION
+    SELECT s.v, w.dist + 1 FROM sym s JOIN walk w ON s.u = w.id WHERE w.dist < {max_hops}
+)
+SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id
+"""
+
+
+def degrees_sql(edges_sql: str) -> str:
+    return f"""
+WITH e AS ({edges_sql}),
+sym AS ({sym_cte()})
+SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u
+"""

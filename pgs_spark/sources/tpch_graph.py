@@ -1,0 +1,87 @@
+"""Graph derivation from the driver-generated TPC-H-ish tables.
+
+The engine's core move — derive an edge table from raw records by grouping on
+a shared key (toDualGraph: faces sharing an edge key become graph edges,
+PGS_Conversion.java:1068-1108) — applied to the testdata relations:
+
+- ``co_purchase_edges``: parts sharing an order → undirected edge (the two
+  faces sharing a PEdge). The l_quantity floor sparsifies deterministically.
+- ``customer_supplier_edges``: directed customer→supplier purchase edges —
+  suppliers have no out-edges, so PageRank's dangling-mass path is exercised.
+
+Vertex ids are natural keys offset into disjoint ranges (parts as-is,
+suppliers +10^6) — the surrogate-keying mirror of xxhash64(repo), chosen here
+so the DuckDB oracle can reproduce them with plain arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.sources.tables import load_table
+
+SUPPLIER_OFFSET = 1_000_000
+CUSTOMER_OFFSET = 2_000_000
+
+
+def co_purchase_edges(
+    spark: SparkSession, sf_dir: str, min_quantity: int = 0
+) -> DataFrame:
+    """Canonical undirected edges between parts co-occurring in an order.
+
+    Self-join on the shared key (l_orderkey), canonicalized src<dst, distinct —
+    exactly the toDualGraph shape: explode to key, pair up faces per key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= min_quantity
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edges customer → supplier (via orders ⋈ lineitem), distinct.
+
+    Suppliers never have out-edges → every supplier vertex is dangling."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey").cast("long") + F.lit(CUSTOMER_OFFSET)).alias("src"),
+            (F.col("l_suppkey").cast("long") + F.lit(SUPPLIER_OFFSET)).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+# The same derivations as ANSI SQL for the DuckDB oracle.
+CO_PURCHASE_SQL = """
+    SELECT DISTINCT
+        CAST(a.l_partkey AS BIGINT) AS src,
+        CAST(b.l_partkey AS BIGINT) AS dst
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+      AND a.l_quantity >= {minq} AND b.l_quantity >= {minq}
+"""
+
+CUSTOMER_SUPPLIER_SQL = """
+    SELECT DISTINCT
+        CAST(o.o_custkey AS BIGINT) + 2000000 AS src,
+        CAST(l.l_suppkey AS BIGINT) + 1000000 AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def co_purchase_sql(min_quantity: int = 0) -> str:
+    return CO_PURCHASE_SQL.format(minq=min_quantity)
