@@ -1,0 +1,229 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs per-round): headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS],
+printing ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: the north-rule two-parallelism-level evidence. Builds one
+deterministic synthetic edge table (seeded Zipf link graph — the shape of the
+code-import graph), runs the same fixed-superstep PageRank at local[N] and
+local[4N] in fresh JVMs, reports edges/sec/superstep at both plus scaling
+efficiency, and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_synthetic_edges(spark, n_vertices: int, n_edges: int, seed: int, path: str):
+    """Deterministic power-law edge table written to parquet (shared input for
+    both parallelism levels). dst follows Zipf (hub skew), src uniform."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    u = (
+        F.pmod(F.xxhash64("id", F.lit("zipf"), F.lit(seed)), F.lit(2**31)).cast("double")
+        / F.lit(float(2**31))
+    )
+    rank = F.least(
+        F.greatest(F.floor(F.exp(u * F.lit(math.log(float(n_vertices))))) - 1, F.lit(0)),
+        F.lit(n_vertices - 1),
+    )
+    df = (
+        spark.range(0, n_edges)
+        .select(
+            F.pmod(F.xxhash64("id", F.lit("src"), F.lit(seed)), F.lit(n_vertices)).alias("src"),
+            rank.alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def run_headline(sf_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pgs_spark.operators.components import connected_components
+    from pgs_spark.operators.label_propagation import label_propagation
+    from pgs_spark.operators.pagerank import pagerank
+    from pgs_spark.operators.triangles import triangle_count
+    from pgs_spark.session import get_spark
+    from pgs_spark.functions.extract import with_refs
+    from pgs_spark.operators.edges import canonicalize, derive_edges
+    from pgs_spark.sources.generator import generate_code_files, repo_table
+    from pgs_spark.sources.tpch_graph import co_purchase_edges, customer_supplier_edges
+
+    spark = get_spark(
+        app_name="pgs-bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # 1. north-star pipeline: synthetic code_files → Arrow-UDF extraction →
+    #    edge table (fixed size, independent of sf).
+    n_files, n_repos = 100_000, 10_000
+    cf = generate_code_files(spark, n_repos=n_repos, n_files=n_files, seed=42).persist()
+    timed("generate_code_files", cf.count)
+    refs = with_refs(cf).persist()
+    timed("extract_refs", refs.count)
+    code_edges = derive_edges(refs, repo_table(spark, n_repos)).persist()
+    extra["code_edges"] = timed("derive_code_edges", code_edges.count)
+
+    # 2. PageRank to 1e-6 convergence on the code-import graph (the metric).
+    t0 = time.time()
+    res = pagerank(spark, code_edges, tol=1e-6, max_iter=100)
+    timings["pagerank_code_graph"] = round(time.time() - t0, 3)
+    superstep_secs = sum(h["seconds"] for h in res.history)
+    extra["pagerank_supersteps"] = res.iterations
+    extra["pagerank_converged"] = res.converged
+    extra["edges_per_sec_per_superstep"] = round(
+        extra["code_edges"] * res.iterations / superstep_secs, 1
+    )
+    cf.unpersist()
+    refs.unpersist()
+
+    # 3. graph ops over sf_dir-derived co-purchase graph.
+    cop = canonicalize(co_purchase_edges(spark, sf_dir, 0)).persist()
+    extra["copurchase_edges"] = timed("derive_copurchase", cop.count)
+    timed("connected_components", lambda: connected_components(spark, cop).components.count())
+    timed("label_propagation", lambda: label_propagation(spark, cop, max_iter=3).labels.count())
+    extra["triangles"] = timed("triangle_count", lambda: triangle_count(spark, cop))
+
+    cs = customer_supplier_edges(spark, sf_dir).persist()
+    cs.count()
+    timed(
+        "pagerank_custsupp_10it",
+        lambda: pagerank(spark, cs, fixed_iterations=10).ranks.count(),
+    )
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        **extra,
+    }
+
+
+def run_pagerank_throughput(edges_path: str, cpus: int, supersteps: int) -> dict:
+    """One fixed-superstep PageRank run on a pre-built edge table; returns
+    throughput. Run in a fresh JVM per parallelism level."""
+    from pgs_spark.operators.pagerank import pagerank
+    from pgs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pgs-scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()
+    res = pagerank(spark, edges, fixed_iterations=supersteps)
+    superstep_secs = sum(h["seconds"] for h in res.history)
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "edges": n_edges,
+        "supersteps": supersteps,
+        "superstep_secs": round(superstep_secs, 3),
+        "edges_per_sec_per_superstep": round(n_edges * supersteps / superstep_secs, 1),
+    }
+
+
+def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, supersteps: int):
+    """Two-parallelism scaling evidence → BENCH/BASELINE.md."""
+    from pgs_spark.session import get_spark
+
+    path = "/tmp/pgs_bench_edges"
+    spark = get_spark(app_name="pgs-edgegen", master=f"local[{n_high}]", shuffle_partitions=n_high)
+    build_synthetic_edges(spark, n_vertices, n_edges, seed=42, path=path)
+    spark.stop()
+
+    results = []
+    for cpus in (n_low, n_high):
+        out = subprocess.run(
+            [sys.executable, __file__, "--throughput-worker", path, str(cpus), str(supersteps)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+
+    lo, hi = results
+    speedup = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
+    efficiency = speedup / (n_high / n_low)
+    report = {
+        "low": lo,
+        "high": hi,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-parallelism scaling evidence
+
+North rule: throughput scaling efficiency >= 0.8 from N to 4N parallelism on
+the same input (sandbox evidence for the N->4N executor criterion).
+
+Input: deterministic synthetic Zipf link graph, seed=42,
+{n_vertices:,} vertices, {lo['edges']:,} edges (parquet at {path}).
+Workload: PageRank, {supersteps} fixed supersteps (power iteration with
+teleport 0.15 and dangling-mass redistribution), fresh JVM per level.
+
+| parallelism | superstep wall (s) | edges/sec/superstep |
+|---|---|---|
+| local[{n_low}] | {lo['superstep_secs']} | {lo['edges_per_sec_per_superstep']:,} |
+| local[{n_high}] | {hi['superstep_secs']} | {hi['edges_per_sec_per_superstep']:,} |
+
+speedup {n_low}->{n_high}: **{report['speedup']}x** (ideal {n_high//n_low}x)
+scaling efficiency: **{report['scaling_efficiency']}** (target >= 0.8)
+
+Reproduce: `python bench.py --scaling`
+"""
+        )
+    print(json.dumps(report))
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0] == "--throughput-worker":
+        print(json.dumps(run_pagerank_throughput(args[1], int(args[2]), int(args[3]))))
+        return
+    if args and args[0] == "--scaling":
+        run_scaling(
+            n_low=int(os.environ.get("PGS_SCALE_LOW", "8")),
+            n_high=int(os.environ.get("PGS_SCALE_HIGH", "32")),
+            n_vertices=int(os.environ.get("PGS_SCALE_VERTICES", "500000")),
+            n_edges=int(os.environ.get("PGS_SCALE_EDGES", "5000000")),
+            supersteps=int(os.environ.get("PGS_SCALE_SUPERSTEPS", "5")),
+        )
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_headline(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()
