@@ -169,8 +169,94 @@ def q_complete_graph(spark, sf_dir):
     return a.crossJoin(b).filter(F.col("a") < F.col("b"))
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings)
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    from pgs_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count(F.col("text")).cast("int").alias("n_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    from pgs_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.quality_score(F.col("text")).alias("quality"),
+        tx.lang_guess(F.col("text")).alias("lang_guess"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    from pgs_spark.functions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprints(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(fp).cast("int").alias("n_fp"),
+        F.array_min(fp).alias("min_fp"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pgs_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_minhash_candidates(spark, sf_dir):
+    from pgs_spark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from pgs_spark.operators.dedup import minhash_candidates, ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    pairs = minhash_candidates(docs)
+    return ngram_jaccard(docs, pairs)
+
+
+def q_simhash(spark, sf_dir):
+    from pgs_spark.operators.dedup import simhash16
+
+    return simhash16(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine(spark, sf_dir):
+    from pgs_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_lsh_buckets(spark, sf_dir):
+    from pgs_spark.operators.similarity import lsh_buckets
+
+    return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "token_stats": q_token_stats,
+        "quality_score": q_quality,
+        "doc_fingerprints": q_fingerprints,
+        "dedup_exact": q_dedup_exact,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine,
+        "ann_lsh_buckets": q_lsh_buckets,
         "derive_edges": q_derive_edges,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
@@ -191,9 +277,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from pgs_spark.plans import docs_sql as dsql
+
     dense = co_purchase_sql(MINQ_DENSE)
     sparse = co_purchase_sql(MINQ_SPARSE)
     return {
+        "token_stats": dsql.token_stats_sql(),
+        "quality_score": dsql.quality_sql(),
+        "doc_fingerprints": dsql.fingerprint_sql(),
+        "dedup_exact": dsql.dedup_exact_sql(),
+        "minhash_candidates": dsql.minhash_candidates_sql(),
+        "ngram_jaccard": dsql.ngram_jaccard_sql(),
+        "simhash": dsql.simhash_sql(),
+        "ann_cosine_topk": dsql.ann_cosine_sql(),
+        "ann_lsh_buckets": dsql.lsh_buckets_sql(),
         "derive_edges": dense,
         "degrees": osql.degrees_sql(dense),
         "pagerank": osql.pagerank_sql(CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS),

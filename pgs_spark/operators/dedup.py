@@ -1,0 +1,171 @@
+"""Deduplication operators for training-data pipelines.
+
+The canonical-key discipline comes from the reference: PEdge's symmetric
+equality canonicalizes duplicate edges (commons/PEdge.java:98-110), and
+prunePointsWithinDistance dedups rows by a proximity key
+(PGS_PointSet.java:87-121). Here the keys are content hashes:
+
+- exact:    sha/md5 of normalized content → groupBy → keep min id
+- minhash:  per-document k-shingle MinHash signature → banded LSH buckets →
+            candidate pairs (the classic Broder scheme)
+- jaccard:  exact n-gram Jaccard verification of LSH candidates
+- simhash:  16-bit Charikar simhash from token hashes
+
+Everything is built-in column expressions (md5 is available bit-identically in
+both Spark and DuckDB, which keeps every stage oracle-checkable); no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pgs_spark.functions.text import shingles, tokens
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, keep_id): keep_id = min id among rows with identical content."""
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    keep = hashed.groupBy("h").agg(F.min(id_col).alias("keep_id"))
+    return hashed.join(keep, "h").select(F.col(id_col), "keep_id")
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """(id, h0..h{n-1}): MinHash signature — for seed i, the minimum
+    md5(i || '|' || shingle) over the document's k-shingles.
+
+    Implemented explode→md5→groupBy(min) rather than nested higher-order
+    array functions: HOF lambdas run interpreted (no whole-stage codegen),
+    measured ~15× slower for the same hash count. Min over the hex string ≡
+    min over the hash value — stays cross-engine exact."""
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return rows.groupBy("id").agg(*aggs)
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_hash): md5 over each band's concatenated minhashes.
+    Documents sharing any (band_idx, band_hash) are near-dup candidates."""
+    sig = minhash_signature_table(df, id_col, text_col, n_hashes, k)
+    n_bands = n_hashes // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("id", F.explode(F.array(*band_structs)).alias("b")).select(
+        "id", "b.band_idx", "b.band_hash"
+    )
+
+
+def lsh_candidates(bands: DataFrame) -> DataFrame:
+    """Self-join band buckets → distinct candidate pairs (a < b).
+
+    The bands table feeds both join sides — persist so signatures compute
+    once, not twice."""
+    bands = bands.persist()
+    x = bands.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("a"))
+    y = bands.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("b"))
+    return (
+        x.join(y, ["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    return lsh_candidates(minhash_bands(df, id_col, text_col, n_hashes, band_size, k))
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(a, b, jac): exact Jaccard similarity of k-shingle *sets* for each
+    candidate pair — the verification stage after LSH."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
+        )
+    ).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("id").alias("a"), "s"), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("s").alias("s2")), "b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("ni"))
+    )
+    out = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+                / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))).cast("double"),
+                6,
+            ).alias("jac"),
+        )
+    )
+    return out
+
+
+def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash): 16-bit Charikar simhash. Bit j is set when the majority
+    of tokens have an odd j-th md5 hex digit — computed entirely with
+    integer-free hex-digit parity so both engines agree exactly."""
+    toks = F.col("toks")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks")
+    ).withColumn("hs", F.transform(toks, lambda t: F.md5(t)))
+    odd = list("13579bdf")
+    bit_cols = []
+    for j in range(16):
+        votes = F.size(
+            F.filter(F.col("hs"), lambda h: F.substring(h, j + 1, 1).isin(odd))
+        )
+        bit = (votes * 2 > F.size(F.col("hs"))).cast("int")
+        bit_cols.append(bit * (1 << j))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return base.select("id", total.cast("int").alias("simhash"))

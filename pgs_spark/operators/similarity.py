@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k is the correctness baseline (the crossJoin-then-argmin
+shape of PGS_Optimisation.closestPoint, PGS_Optimisation.java:873-925); the
+scale path is random-hyperplane LSH bucketing (the STRtree-index-before-
+pairwise-tests discipline of commons/FastOverlapRegions.java:46-47 — prune
+with a cheap index, verify exactly within buckets).
+
+Hyperplane components are deterministic ±1 derived from md5 parity, so the
+DuckDB oracle can inline the identical planes as literals. Dot products are
+computed in double over the ordered array — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered double-precision dot product of two array columns.
+
+    SQL mirror: list_dot_product(a::DOUBLE[], b::DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assume_normalized: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rnk): brute-force top-k cosine neighbors
+    of each query vector against the full embedding table.
+
+    The query side is small by construction → broadcast; the big side streams
+    through one whole-stage-codegen pass. At cluster scale this is the exact
+    re-ranker behind the LSH candidate generator below."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    base = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    sim = dot(F.col("qv"), F.col("nv"))
+    if not assume_normalized:
+        sim = sim / (
+            F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(F.col("nv"), F.col("nv")))
+        )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(sim, 6).alias("sim"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 parity (cross-engine constant)."""
+    planes = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()
+            row.append(1 if int(h[-1], 16) % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): random-hyperplane signature as an int in [0, 2^n_planes).
+    Vectors sharing a bucket are ANN candidates; expected candidates per
+    bucket shrink exponentially with n_planes — the scale knob."""
+    planes = hyperplanes(n_planes, dim, seed)
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("int")
+        bucket = bucket + bit * (1 << i)
+    return embeddings.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing an LSH bucket."""
+    x = buckets.select(F.col("bucket"), F.col("id").alias("a"))
+    y = buckets.select(F.col("bucket"), F.col("id").alias("b"))
+    return (
+        x.join(y, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    )

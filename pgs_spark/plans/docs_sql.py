@@ -1,0 +1,172 @@
+"""DuckDB oracle SQL for the documents/embeddings operators.
+
+Every expression mirrors its Spark twin in pgs_spark/functions/text.py,
+operators/dedup.py and operators/similarity.py *structurally* (same operation
+order), so double arithmetic and md5 hashes agree bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pgs_spark.functions.text import STOPWORDS
+from pgs_spark.operators.similarity import hyperplanes
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TOKS = r"string_split_regex(trim(text), '\s+')"
+
+# shingle list over words w (k=3), empty when too short — mirrors text.shingles
+_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [] END"
+)
+
+DOC_BASE = f"""
+docs AS MATERIALIZED (SELECT doc_id, text, {TOKS} AS w FROM documents),
+sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS s FROM docs)
+"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text, {TOKS} AS w FROM documents)
+SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, CAST(length(text) AS INT) AS n_chars
+FROM docs
+"""
+
+
+def quality_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text, {TOKS} AS w FROM documents),
+m AS (SELECT doc_id,
+    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS ar,
+    CAST(len(list_filter(w, x -> x IN ({_SW}))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS sw,
+    CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS mtl
+  FROM docs)
+SELECT doc_id,
+    ROUND(0.4*ar + 0.4*LEAST(sw*4.0, 1.0)
+          + 0.2*(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+        AS quality,
+    CASE WHEN sw > 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM m
+"""
+
+
+def fingerprint_sql() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES} AS s FROM docs),
+fp AS (SELECT doc_id,
+    list_filter(list_transform(s, x -> md5(x)),
+                h -> substr(h, 32, 1) IN ('0','4','8','c')) AS f
+  FROM sh)
+SELECT doc_id, CAST(len(f) AS INT) AS n_fp, list_min(f) AS min_fp FROM fp
+"""
+
+
+def dedup_exact_sql() -> str:
+    return """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+keep AS (SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h)
+SELECT a.doc_id, k.keep_id FROM h a JOIN keep k ON a.h = k.h
+"""
+
+
+_MINHASH = """
+mh AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(range(0, {n_hashes}),
+                        i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
+  FROM sh WHERE len(s) > 0),
+bandix(band_idx) AS (VALUES {band_values}),
+bands AS MATERIALIZED (
+  SELECT doc_id AS id, CAST(band_idx AS INT) AS band_idx,
+         md5(array_to_string(sig[band_idx*{band_size}+1 : band_idx*{band_size}+{band_size}], '|')) AS band_hash
+  FROM mh CROSS JOIN bandix)
+"""
+
+
+def _minhash_ctes(n_hashes: int = 8, band_size: int = 2) -> str:
+    n_bands = n_hashes // band_size
+    band_values = ", ".join(f"({b})" for b in range(n_bands))
+    return DOC_BASE.strip() + ",\n" + _MINHASH.format(
+        n_hashes=n_hashes, band_values=band_values, band_size=band_size
+    ).strip()
+
+
+def minhash_candidates_sql(n_hashes: int = 8, band_size: int = 2) -> str:
+    return f"""
+WITH {_minhash_ctes(n_hashes, band_size)}
+SELECT DISTINCT x.id AS a, y.id AS b
+FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+WHERE x.id < y.id
+"""
+
+
+def ngram_jaccard_sql(n_hashes: int = 8, band_size: int = 2) -> str:
+    return f"""
+WITH {_minhash_ctes(n_hashes, band_size)},
+pairs AS MATERIALIZED (
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+  WHERE x.id < y.id),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS ni
+  FROM pairs p JOIN shd x ON x.doc_id = p.a JOIN shd y ON y.doc_id = p.b AND y.g = x.g
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+    ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+          / CAST(na.n + nb.n - COALESCE(i.ni, 0) AS DOUBLE), 6) AS jac
+FROM pairs p
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+JOIN sizes na ON na.doc_id = p.a
+JOIN sizes nb ON nb.doc_id = p.b
+"""
+
+
+def simhash_sql() -> str:
+    odd = "('1','3','5','7','9','b','d','f')"
+    terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, h -> substr(h, {j + 1}, 1) IN {odd})) > len(hs) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS w FROM documents),
+hx AS (SELECT doc_id, list_transform(w, t -> md5(t)) AS hs FROM docs)
+SELECT doc_id AS id, CAST({terms} AS INT) AS simhash FROM hx
+"""
+
+
+def ann_cosine_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings),
+scored AS (
+  SELECT q.query_id, b.neighbor_id, ROUND(list_dot_product(qv, nv), 6) AS sim
+  FROM b CROSS JOIN q WHERE q.query_id <> b.neighbor_id)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= {k}
+"""
+
+
+def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    planes = hyperplanes(n_planes, dim, seed)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{float(x)!r}" for x in p)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+SELECT vec_id AS id, CAST({terms} AS INT) AS bucket FROM embeddings
+"""
