@@ -246,8 +246,33 @@ def q_lsh_buckets(spark, sf_dir):
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_stochastic_merge(spark, sf_dir):
+    from pgs_spark.operators.merge import stochastic_merge
+
+    e = _dense(spark, sf_dir).persist()
+    return stochastic_merge(spark, e, n_classes=8)
+
+
+def q_kcore(spark, sf_dir):
+    from pgs_spark.operators.merge import kcore
+
+    e = _dense(spark, sf_dir).persist()
+    return kcore(spark, e, k=4, rounds=5)
+
+
+def q_degree_histogram(spark, sf_dir):
+    return (
+        deg_op(_dense(spark, sf_dir))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stochastic_merge": q_stochastic_merge,
+        "kcore": q_kcore,
+        "degree_histogram": q_degree_histogram,
         "token_stats": q_token_stats,
         "quality_score": q_quality,
         "doc_fingerprints": q_fingerprints,
@@ -282,6 +307,14 @@ def oracle_sql() -> dict[str, str]:
     dense = co_purchase_sql(MINQ_DENSE)
     sparse = co_purchase_sql(MINQ_SPARSE)
     return {
+        "stochastic_merge": osql.stochastic_merge_sql(dense, n_classes=8),
+        "kcore": osql.kcore_sql(dense, k=4, rounds=5),
+        "degree_histogram": f"""
+            WITH e AS ({dense}),
+            sym AS ({osql.sym_cte()}),
+            deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u)
+            SELECT degree, COUNT(*) AS n_vertices FROM deg GROUP BY degree
+        """,
         "token_stats": dsql.token_stats_sql(),
         "quality_score": dsql.quality_sql(),
         "doc_fingerprints": dsql.fingerprint_sql(),

@@ -94,7 +94,9 @@ def connected_components(
     history = [{"round": 0, "edges": sig[0]}]
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # lazy localCheckpoint: the signature action below materializes it —
+        # one job per round instead of two, lineage still truncated.
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         new_sig = _signature(new_e)
         e.unpersist()
         e = new_e

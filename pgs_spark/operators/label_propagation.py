@@ -73,7 +73,7 @@ def label_propagation(
         new_labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materialized by the changed-count action
         )
         changed = (
             new_labels.alias("n")

@@ -1,0 +1,128 @@
+"""stochasticMerge — the reference's hero pipeline, end to end.
+
+Graft of PGS_Meshing.stochasticMerge (PGS_Meshing.java:693-741):
+  1. deterministic initial class labels per vertex       (699-700)
+  2. one island-reassignment pass: a vertex with no same-label neighbor
+     adopts its neighbors' modal label                   (706-725)
+  3. cut cross-label edges                               (727-735)
+  4. connected components of what remains                (736)
+  5. per-component aggregation                           (738)
+
+Each stage is one of this engine's primitives (LPA step, edge filter, CC,
+groupBy), so the pipeline doubles as an integration test of the whole stack.
+`seed=None` uses label = id % n_classes (cross-engine oracle-checkable);
+a seed switches to xxhash64 labels (the XoRoShiRo-seeded path of the
+reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.components import connected_components
+from pgs_spark.operators.edges import symmetrize
+
+
+def _initial_labels(verts: DataFrame, n_classes: int, seed: int | None) -> DataFrame:
+    if seed is None:
+        lab = F.pmod(F.col("id"), F.lit(n_classes))
+    else:
+        lab = F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(n_classes))
+    return verts.select("id", lab.alias("label"))
+
+
+def island_pass(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One island-reassignment superstep: vertices with zero same-label
+    neighbors take the modal neighbor label (ties → min label)."""
+    nbr = sym.join(labels, sym.dst == labels.id).select(
+        F.col("src").alias("id"), F.col("label").alias("nbr_label")
+    )
+    counts = nbr.groupBy("id", "nbr_label").agg(F.count("*").alias("cnt"))
+    modal = (
+        counts.groupBy("id")
+        .agg(F.max(F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("nl"))).alias("s"))
+        .select("id", (-F.col("s.nl")).alias("modal_label"))
+    )
+    same = (
+        counts.join(labels, "id")
+        .filter(F.col("nbr_label") == F.col("label"))
+        .select("id")
+        .distinct()
+        .withColumn("has_same", F.lit(1))
+    )
+    return (
+        labels.join(modal, "id", "left")
+        .join(same, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("has_same").isNull() & F.col("modal_label").isNotNull(),
+                F.col("modal_label"),
+            )
+            .otherwise(F.col("label"))
+            .alias("label"),
+        )
+    )
+
+
+def stochastic_merge(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    n_classes: int,
+    seed: int | None = None,
+) -> DataFrame:
+    """(component, n_vertices, label): merged groups after label-cut-CC.
+
+    component = min vertex id of the merged group (hash-to-min canonical)."""
+    sym = symmetrize(undirected_edges).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    labels = _initial_labels(verts, n_classes, seed)
+    labels = island_pass(sym, labels).persist()
+
+    kept = (
+        undirected_edges.join(
+            labels.select(F.col("id").alias("src"), F.col("label").alias("ls")), "src"
+        )
+        .join(labels.select(F.col("id").alias("dst"), F.col("label").alias("ld")), "dst")
+        .filter(F.col("ls") == F.col("ld"))
+        .select("src", "dst")
+    )
+    comp = connected_components(spark, kept).components
+    # vertices whose every edge was cut become singleton components
+    all_comp = (
+        labels.join(comp, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"), "label")
+    )
+    out = all_comp.groupBy("component").agg(
+        F.count("*").alias("n_vertices"), F.min("label").alias("label")
+    )
+    sym.unpersist()
+    return out
+
+
+def kcore(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    k: int = 2,
+    rounds: int = 5,
+) -> DataFrame:
+    """Iterative degree-< k peeling — the dangle-removal loop of
+    FastPolygonizer (commons/FastPolygonizer.java:70-80 prunes degree-1
+    vertices until none remain). Fixed `rounds` keeps it oracle-unrollable;
+    rounds=None-style full convergence is just a larger bound.
+
+    Returns the surviving canonical edge set."""
+    e = undirected_edges
+    for _ in range(rounds):
+        deg = (
+            symmetrize(e).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("id")
+        e = (
+            e.join(keep.select(F.col("id").alias("src")), "src")
+            .join(keep.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return e

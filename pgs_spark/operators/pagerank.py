@@ -117,9 +117,16 @@ def pagerank(
 
     for it in range(start_iter, limit):
         t0 = time.time()
-        contribs = w_edges.join(ranks.select("id", "rank"), w_edges.src == F.col("id")).select(
-            "dst", (F.col("rank") * F.col("w")).alias("contrib")
-        )
+        # Gather join: edges are already hash-partitioned on src (built once);
+        # SHUFFLE_HASH on the vertex side means only |V| rows shuffle per
+        # superstep, the hash build parallelizes across tasks, and the 50M-row
+        # edge side streams with no sort. (Letting Catalyst pick gives either
+        # a broadcast of the full rank vector — a *serial* build that caps
+        # scaling, Amdahl — or a sort-merge join that re-sorts the edges every
+        # superstep.)
+        contribs = w_edges.join(
+            ranks.select("id", "rank").hint("shuffle_hash"), w_edges.src == F.col("id")
+        ).select("dst", (F.col("rank") * F.col("w")).alias("contrib"))
         if salt_buckets:
             gathered = skew.salted_sum(contribs, "dst", "contrib", salt_buckets)
         else:
@@ -136,7 +143,13 @@ def pagerank(
             )
         )
 
-        new_ranks = new_ranks.persist()
+        if not cp:
+            # Lazy lineage truncation: the stats action below materializes it
+            # (one pass instead of checkpoint-then-stats). Durable checkpoints
+            # (cp) write parquet below instead, which truncates on re-read.
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        else:
+            new_ranks = new_ranks.persist()
         # One fused action: L1 delta + next iteration's dangling mass.
         stats = (
             new_ranks.select("id", "outdeg", F.col("rank").alias("new_rank"))
@@ -165,14 +178,6 @@ def pagerank(
             cp.prune(keep_last=2)
             new_ranks.unpersist()
             new_ranks = reread
-        else:
-            # No durable checkpoint requested: still truncate lineage so the
-            # logical plan stays flat across supersteps (plans that nest one
-            # join+agg per iteration make Catalyst analysis cost grow
-            # superlinearly with iteration count).
-            flat = new_ranks.localCheckpoint(eager=True)
-            new_ranks.unpersist()
-            new_ranks = flat
         if prev_persisted is not None:
             prev_persisted.unpersist()
         prev_persisted = new_ranks

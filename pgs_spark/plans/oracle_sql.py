@@ -124,6 +124,61 @@ SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
+def stochastic_merge_sql(edges_sql: str, n_classes: int) -> str:
+    """Mirror of operators/merge.stochastic_merge with seed=None
+    (label = id % n_classes): island pass → cut → CC → per-component agg."""
+    return f"""
+WITH RECURSIVE e AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED ({sym_cte()}),
+verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+l0 AS MATERIALIZED (SELECT id, id % {n_classes} AS label FROM verts),
+cnt AS MATERIALIZED (
+    SELECT s.u AS id, l.label AS nbr_label, COUNT(*) AS cnt
+    FROM sym s JOIN l0 l ON s.v = l.id GROUP BY s.u, l.label),
+modal AS (
+    SELECT id, MIN(nbr_label) AS modal_label FROM (
+        SELECT id, nbr_label, cnt, MAX(cnt) OVER (PARTITION BY id) AS mx FROM cnt) t
+    WHERE cnt = mx GROUP BY id),
+same AS (SELECT DISTINCT c.id FROM cnt c JOIN l0 l ON c.id = l.id AND c.nbr_label = l.label),
+l1 AS MATERIALIZED (
+    SELECT l.id,
+           CASE WHEN s.id IS NULL AND m.modal_label IS NOT NULL
+                THEN m.modal_label ELSE l.label END AS label
+    FROM l0 l LEFT JOIN modal m ON l.id = m.id LEFT JOIN same s ON l.id = s.id),
+kept AS MATERIALIZED (
+    SELECT e.src, e.dst FROM e
+    JOIN l1 a ON e.src = a.id JOIN l1 b ON e.dst = b.id
+    WHERE a.label = b.label),
+ksym AS MATERIALIZED (SELECT src AS u, dst AS v FROM kept UNION ALL SELECT dst, src FROM kept),
+reach(id, r) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT s.u, reach.r FROM ksym s JOIN reach ON s.v = reach.id),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT c.component, COUNT(*) AS n_vertices, MIN(l.label) AS label
+FROM comp c JOIN l1 l ON c.id = l.id GROUP BY c.component
+"""
+
+
+def kcore_sql(edges_sql: str, k: int = 2, rounds: int = 5) -> str:
+    """Fixed-round degree-< k peeling, unrolled."""
+    parts = [f"e0 AS MATERIALIZED ({edges_sql})"]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS (SELECT src AS u, dst AS v FROM {prev} UNION ALL SELECT dst, src FROM {prev})"
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT u AS id FROM s{r} GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e "
+            f"JOIN k{r} a ON e.src = a.id JOIN k{r} b ON e.dst = b.id)"
+        )
+        prev = f"e{r}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM {prev}"
+
+
 def degrees_sql(edges_sql: str) -> str:
     return f"""
 WITH e AS ({edges_sql}),

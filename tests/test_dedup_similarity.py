@@ -1,0 +1,100 @@
+"""Dedup + similarity operators: known-answer unit tests (SURVEY §5.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidates,
+    ngram_jaccard,
+    simhash16,
+)
+from pgs_spark.operators.similarity import (
+    cosine_topk,
+    dot,
+    lsh_buckets,
+    lsh_candidate_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different words about spark distributed graph processing engines"),
+    (5, "tiny doc"),  # < 3 tokens after shingling? 2 tokens → no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string").persist()
+    df.count()
+    return df
+
+
+def test_exact_dedup(spark, docs):
+    got = {r["doc_id"]: r["keep_id"] for r in exact_dedup(docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_candidates(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "a long, b long")
+    got = {(r["a"], r["b"]): r["jac"] for r in ngram_jaccard(docs, pairs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.3 < got[(1, 3)] < 1.0
+    assert got[(1, 4)] == 0.0
+
+
+def test_simhash_identical_and_different(spark, docs):
+    got = {r["id"]: r["simhash"] for r in simhash16(docs).collect()}
+    assert got[1] == got[2]
+    assert 0 <= got[1] < 2**16
+    assert got[1] != got[4]  # different token sets → different fingerprint
+
+
+def test_cosine_topk_normalized(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # identical to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [0.6, 0.8, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    ranked = [(r["neighbor_id"], r["sim"]) for r in got.orderBy("rnk").collect()]
+    assert ranked[0] == (1, 1.0)
+    assert ranked[1] == (3, 0.6)
+    assert ranked[2] == (2, 0.0)
+
+
+def test_dot_product_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>"
+    )
+    assert df.select(dot(F.col("a"), F.col("b")).alias("d")).first()["d"] == 32.0
+
+
+def test_lsh_buckets_identical_vectors_collide(spark):
+    rows = [(0, [1.0] * 64), (1, [1.0] * 64), (2, [(-1.0) ** i for i in range(64)])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = {r["id"]: r["bucket"] for r in lsh_buckets(emb, n_planes=8, dim=64).collect()}
+    assert b[0] == b[1]
+    pairs = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(lsh_buckets(emb, n_planes=8, dim=64)).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_lsh_deterministic_across_sessions(spark):
+    from pgs_spark.operators.similarity import hyperplanes
+
+    assert hyperplanes(2, 4, seed=42) == hyperplanes(2, 4, seed=42)
+    assert hyperplanes(2, 4, seed=42) != hyperplanes(2, 4, seed=43)

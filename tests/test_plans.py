@@ -1,0 +1,58 @@
+"""Physical-plan assertions: pushdown, pruning, join shapes (SURVEY §4)."""
+
+from pyspark.sql import functions as F
+
+from pgs_spark.plans.explain import (
+    has_pushed_filter,
+    scan_read_schema,
+    uses_broadcast_join,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    assert has_pushed_filter(q, "l_quantity")
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_partkey")
+    cols = scan_read_schema(q)
+    assert set(cols) == {"l_orderkey", "l_partkey"}  # 2 of 11 columns read
+
+
+def test_small_dim_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    q = li.join(supp, li.l_suppkey == supp.s_suppkey)
+    assert uses_broadcast_join(q)
+
+
+def test_pagerank_gather_avoids_broadcast_build(spark):
+    """The gather join must be a shuffled-hash join (parallel build), not a
+    broadcast of the full rank vector (serial build — Amdahl at scale)."""
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    w_edges = edges.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    ranks = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(0.02).alias("rank")
+    )
+    j = w_edges.join(ranks.hint("shuffle_hash"), w_edges.src == ranks.id)
+    from pgs_spark.plans.explain import uses_shuffled_hash_join
+
+    assert uses_shuffled_hash_join(j)
+    assert not uses_broadcast_join(j)
+
+
+def test_codegen_covers_agg_pipeline(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    assert whole_stage_codegen_spans(q) >= 1
