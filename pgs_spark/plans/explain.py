@@ -49,10 +49,19 @@ def uses_shuffled_hash_join(df: DataFrame) -> bool:
 
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
-    """Number of distinct WholeStageCodegen spans — wider/fewer is better.
-    Formatted plans tag member nodes with `[codegen id : n]`."""
-    ids = set()
-    for line in plan_string(df).splitlines():
-        if "codegen id :" in line:
-            ids.add(line.split("codegen id :", 1)[1].strip(" ]"))
-    return len(ids)
+    """Number of WholeStageCodegen subtrees ('Found N WholeStageCodegen
+    subtrees' in codegen explain mode). An un-executed AdaptiveSparkPlan hides
+    its subtrees, so plan a fresh copy of the query with AQE off."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        header = plan_string(df.where(F.lit(True)), "codegen").splitlines()[0]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    for tok in header.split():
+        if tok.isdigit():
+            return int(tok)
+    return 0
