@@ -1,0 +1,153 @@
+"""Job entry points for spark-submit.
+
+Usage (cluster):
+    python tools/make_pyfiles_zip.py            # → dist/pgs_spark.zip
+    spark-submit --py-files dist/pgs_spark.zip submit_job.py <command> [args]
+
+Commands map 1:1 to the engine's pipelines; every iterative job takes
+--checkpoint-dir so a killed run resumes mid-convergence from the newest
+manifest (north rule). The SparkSession comes from spark-submit's conf on a
+cluster; get_spark() only fills in local-mode defaults when run standalone.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def _spark(app: str) -> SparkSession:
+    from pgs_spark.session import get_spark
+
+    return get_spark(app_name=app)
+
+
+def cmd_derive(args) -> None:
+    """code_files parquet → directed edge parquet (extraction pipeline)."""
+    from pyspark.sql import functions as F
+
+    from pgs_spark.functions.extract import with_refs
+    from pgs_spark.operators.edges import derive_edges
+
+    spark = _spark("pgs-derive")
+    cf = spark.read.parquet(args.input)
+    repos = (
+        cf.select("repo").distinct().withColumn("repo_id", F.xxhash64("repo"))
+    )
+    edges = derive_edges(with_refs(cf, verify_sha=not args.no_verify), repos)
+    edges.write.mode("overwrite").parquet(args.out)
+
+
+def cmd_generate(args) -> None:
+    from pgs_spark.sources.generator import generate_code_files
+
+    spark = _spark("pgs-generate")
+    df = generate_code_files(
+        spark, n_repos=args.repos, n_files=args.files, seed=args.seed
+    )
+    df.write.mode("overwrite").parquet(args.out)
+
+
+def cmd_pagerank(args) -> None:
+    from pgs_spark.operators.pagerank import pagerank
+
+    spark = _spark("pgs-pagerank")
+    edges = spark.read.parquet(args.edges)
+    res = pagerank(
+        spark,
+        edges,
+        alpha=args.alpha,
+        tol=args.tol,
+        max_iter=args.max_iter,
+        checkpoint_dir=args.checkpoint_dir,
+        salt_buckets=args.salt_buckets,
+    )
+    res.ranks.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"iterations": res.iterations, "converged": res.converged,
+                      "history": res.history}))
+
+
+def cmd_components(args) -> None:
+    from pgs_spark.operators.components import connected_components
+
+    spark = _spark("pgs-cc")
+    res = connected_components(spark, spark.read.parquet(args.edges))
+    res.components.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rounds": res.rounds, "history": res.history}))
+
+
+def cmd_lpa(args) -> None:
+    from pgs_spark.operators.edges import canonicalize
+    from pgs_spark.operators.label_propagation import label_propagation
+
+    spark = _spark("pgs-lpa")
+    und = canonicalize(spark.read.parquet(args.edges))
+    res = label_propagation(spark, und, max_iter=args.max_iter, seed=args.seed,
+                            n_initial_labels=args.classes)
+    res.labels.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
+
+
+def cmd_triangles(args) -> None:
+    from pgs_spark.operators.triangles import triangle_count
+
+    spark = _spark("pgs-triangles")
+    n = triangle_count(spark, spark.read.parquet(args.edges))
+    print(json.dumps({"triangles": n}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pgs_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    g = sub.add_parser("generate", help="synthetic code_files table")
+    g.add_argument("--repos", type=int, default=10_000)
+    g.add_argument("--files", type=int, default=100_000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--out", required=True)
+    g.set_defaults(fn=cmd_generate)
+
+    d = sub.add_parser("derive", help="code_files → edge table")
+    d.add_argument("--input", required=True)
+    d.add_argument("--out", required=True)
+    d.add_argument("--no-verify", action="store_true")
+    d.set_defaults(fn=cmd_derive)
+
+    pr = sub.add_parser("pagerank")
+    pr.add_argument("--edges", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--alpha", type=float, default=0.85)
+    pr.add_argument("--tol", type=float, default=1e-6)
+    pr.add_argument("--max-iter", type=int, default=100)
+    pr.add_argument("--checkpoint-dir")
+    pr.add_argument("--salt-buckets", type=int)
+    pr.set_defaults(fn=cmd_pagerank)
+
+    cc = sub.add_parser("components")
+    cc.add_argument("--edges", required=True)
+    cc.add_argument("--out", required=True)
+    cc.set_defaults(fn=cmd_components)
+
+    lp = sub.add_parser("lpa")
+    lp.add_argument("--edges", required=True)
+    lp.add_argument("--out", required=True)
+    lp.add_argument("--max-iter", type=int, default=10)
+    lp.add_argument("--seed", type=int)
+    lp.add_argument("--classes", type=int)
+    lp.set_defaults(fn=cmd_lpa)
+
+    tr = sub.add_parser("triangles")
+    tr.add_argument("--edges", required=True)
+    tr.set_defaults(fn=cmd_triangles)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
