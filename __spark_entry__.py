@@ -268,8 +268,83 @@ def q_degree_histogram(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session segmentation on >30min gaps
+    (lag + running sum — the SURVEY §2.6 window family)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    ).over(w.rowsBetween(W.unboundedPreceding, 0))
+    per_event = ev.select("user_id", sess.alias("session_id"))
+    return per_event.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_event_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts (SURVEY §2.5/§2.6 pivot)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count("*"))
+        .na.fill(0, EVENT_TYPES)
+        .select("user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+def q_json_extract(spark, sf_dir):
+    """Semi-structured extraction: props JSON → typed column → agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.round(F.avg("k"), 6).alias("avg_k"), F.count("*").alias("n")
+    )
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-hash sampling (seeded-sampler graft of
+    pruneRandomToN, PGS_PointSet.java:227-264 — hash-order, not rand())."""
+    o = load_table(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit("|s42"))), 1, 1)
+    return o.filter(keep.isin(["0", "1", "2", "3"])).select("o_orderkey", "o_custkey")
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the `median` metric family,
+    PGS_ShapePredicates.java:305-356)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Users who clicked but never purchased (anti-join / EXCEPT family,
+    SURVEY §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicked = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purchased = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicked.join(purchased, "user_id", "left_anti")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sessionize": q_sessionize,
+        "event_pivot": q_event_pivot,
+        "json_extract": q_json_extract,
+        "hash_sample": q_hash_sample,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
         "stochastic_merge": q_stochastic_merge,
         "kcore": q_kcore,
         "degree_histogram": q_degree_histogram,
@@ -306,7 +381,51 @@ def oracle_sql() -> dict[str, str]:
 
     dense = co_purchase_sql(MINQ_DENSE)
     sparse = co_purchase_sql(MINQ_SPARSE)
+    pivot_cols = ",\n".join(
+        f"COALESCE(COUNT(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}"
+        for t in EVENT_TYPES
+    )
     return {
+        "sessionize": f"""
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (SELECT user_id,
+                         SUM(new_sess) OVER (PARTITION BY user_id
+                                             ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id
+        """,
+        "event_pivot": f"""
+            SELECT user_id, {pivot_cols}
+            FROM events GROUP BY user_id
+        """,
+        "json_extract": r"""
+            SELECT event_type,
+                   ROUND(AVG(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)), 6) AS avg_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "hash_sample": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR) || '|s42'), 1, 1) IN ('0','1','2','3')
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
         "stochastic_merge": osql.stochastic_merge_sql(dense, n_classes=8),
         "kcore": osql.kcore_sql(dense, k=4, rounds=5),
         "degree_histogram": f"""

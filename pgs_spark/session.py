@@ -45,6 +45,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
+    local_dir = os.environ.get("PGS_SPARK_LOCAL_DIR")
+    if local_dir:
+        # Sandbox scaling runs put shuffle spill on tmpfs: a single local disk
+        # serializes shuffle I/O across cores, which a real cluster's
+        # per-executor disks/network do not.
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
