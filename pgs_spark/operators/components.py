@@ -16,10 +16,21 @@ driver loop stays flat.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _snapshot(df: DataFrame, work_dir: str, name: str) -> DataFrame:
+    """Write-and-reread parquet: flat lineage with OFF-HEAP state. For large
+    graphs this beats localCheckpoint, whose deserialized RDD blocks stay
+    on-heap across rounds and drive multi-second GC pauses."""
+    path = os.path.join(work_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _signature(e: DataFrame) -> tuple[int, int]:
@@ -71,6 +82,7 @@ def connected_components(
     spark: SparkSession,
     edges: DataFrame,
     max_iter: int = 50,
+    work_dir: str | None = None,
 ) -> ComponentsResult:
     """Edge table (src, dst), any orientation → (id, component).
 
@@ -90,13 +102,23 @@ def connected_components(
         .distinct()
         .persist()
     )
+    tmp = None
+    if work_dir is None and os.environ.get("PGS_CC_SPILL_STATE"):
+        work_dir = tmp = tempfile.mkdtemp(
+            prefix="pgs_cc_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
+        )
     sig = _signature(e)
     history = [{"round": 0, "edges": sig[0]}]
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        # lazy localCheckpoint: the signature action below materializes it —
-        # one job per round instead of two, lineage still truncated.
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        new_e = _small_star(_large_star(e))
+        if work_dir:
+            # off-heap round state (large graphs)
+            new_e = _snapshot(new_e, work_dir, f"round_{rounds % 2}")
+        else:
+            # lazy localCheckpoint: the signature action below materializes
+            # it — one job per round, lineage still truncated (small graphs).
+            new_e = new_e.localCheckpoint(eager=False)
         new_sig = _signature(new_e)
         e.unpersist()
         e = new_e

@@ -25,6 +25,8 @@ iteration is cheap and gives both flat lineage and mid-convergence resume.
 
 from __future__ import annotations
 
+import os
+import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -92,13 +94,24 @@ def pagerank(
     )
     w_edges.count()  # materialize before the loop
 
-    cp = None
+    # Superstep state ALWAYS snapshots to parquet: |V| rows is cheap, lineage
+    # stays flat, and — critically — the state lives off-heap (OS page cache).
+    # localCheckpoint keeps every superstep's rows as deserialized on-heap RDD
+    # blocks that unpersist() cannot free; at 20M vertices that produced
+    # multi-second Full GC pauses every superstep.
     start_iter = 0
     ranks = None
     d_mass = float(n_dangling) / n  # all ranks equal at iter 0 → analytic
     history: list[dict] = []
-    if checkpoint_dir:
-        cp = CheckpointManager(spark, checkpoint_dir, fingerprint_edges(edges))
+    durable = checkpoint_dir is not None
+    tmp_dir = None
+    if not durable:
+        tmp_dir = tempfile.mkdtemp(
+            prefix="pgs_pr_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
+        )
+        checkpoint_dir = tmp_dir
+    cp = CheckpointManager(spark, checkpoint_dir, fingerprint_edges(edges))
+    if durable:
         resumed = cp.resume_point()
         if resumed is None:
             cp.clear()  # stale state from a different input — never mix
@@ -108,12 +121,11 @@ def pagerank(
             if m.get("delta", 1.0) < tol and fixed_iterations is None:
                 return PageRankResult(ranks.select("id", "rank"), start_iter, True, history)
     if ranks is None:
-        ranks = vstate.select("id", F.lit(1.0 / n).alias("rank")).persist()
+        ranks = vstate.select("id", F.lit(1.0 / n).alias("rank"))
 
     teleport = (1.0 - alpha) / n
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = False
-    prev_persisted = ranks
 
     for it in range(start_iter, limit):
         t0 = time.time()
@@ -143,14 +155,10 @@ def pagerank(
             )
         )
 
-        if not cp:
-            # Lazy lineage truncation: the stats action below materializes it
-            # (one pass instead of checkpoint-then-stats). Durable checkpoints
-            # (cp) write parquet below instead, which truncates on re-read.
-            new_ranks = new_ranks.localCheckpoint(eager=False)
-        else:
-            new_ranks = new_ranks.persist()
-        # One fused action: L1 delta + next iteration's dangling mass.
+        # Snapshot this superstep (job 1: parquet write), then compute the
+        # fused delta + dangling-mass statistics from the re-read state
+        # (job 2) — two jobs per superstep, state off-heap.
+        new_ranks = cp.save(new_ranks, it + 1, lineage=False)
         stats = (
             new_ranks.select("id", "outdeg", F.col("rank").alias("new_rank"))
             .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
@@ -173,14 +181,8 @@ def pagerank(
         if collect_skew_metrics:
             metrics["skew_ratio_dst"] = skew.skew_ratio(contribs, "dst")
         history.append(metrics)
-        if cp:
-            reread = cp.save(new_ranks, it + 1, metrics)  # re-read: flat lineage
-            cp.prune(keep_last=2)
-            new_ranks.unpersist()
-            new_ranks = reread
-        if prev_persisted is not None:
-            prev_persisted.unpersist()
-        prev_persisted = new_ranks
+        cp.write_manifest(it + 1, metrics)
+        cp.prune(keep_last=2)
         ranks = new_ranks
         iterations = it + 1
         if fixed_iterations is None and delta < tol:
@@ -193,4 +195,7 @@ def pagerank(
     w_edges.unpersist()
     if fixed_iterations is not None:
         converged = True
+    # NOTE: with an ephemeral temp dir the returned DataFrame reads from that
+    # dir's final snapshot — it is pruned to the last two snapshots and left
+    # on disk (removing it would invalidate the returned DataFrame).
     return PageRankResult(ranks.select("id", "rank"), iterations, converged, history)

@@ -35,30 +35,44 @@ class CheckpointManager:
         os.makedirs(directory, exist_ok=True)
 
     # -- write ---------------------------------------------------------------
-    def save(self, state: DataFrame, iteration: int, metrics: dict | None = None) -> DataFrame:
+    def save(
+        self,
+        state: DataFrame,
+        iteration: int,
+        metrics: dict | None = None,
+        lineage: bool = True,
+    ) -> DataFrame:
         """Persist one superstep's vertex state; returns the re-read DataFrame
         (flat lineage). Per-partition lineage (row counts by partition) is
-        recorded in the manifest."""
+        recorded in the manifest unless `lineage=False` (ephemeral
+        checkpoints skip that extra job)."""
         path = os.path.join(self.dir, f"state_{iteration:05d}")
         state.write.mode("overwrite").parquet(path)
         reread = self.spark.read.parquet(path)
-        part_rows = [
-            (r["pid"], r["rows"])
-            for r in reread.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        ]
+        part_rows = []
+        if lineage:
+            part_rows = [
+                (r["pid"], r["rows"])
+                for r in reread.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            ]
+        self.write_manifest(iteration, metrics, partitions=sorted(part_rows))
+        return reread
+
+    def write_manifest(
+        self, iteration: int, metrics: dict | None, partitions: list | None = None
+    ) -> None:
         manifest = {
             "iteration": iteration,
-            "path": path,
+            "path": os.path.join(self.dir, f"state_{iteration:05d}"),
             "input_fingerprint": self.fingerprint,
             "wall_clock": time.time(),
-            "partitions": sorted(part_rows),
+            "partitions": partitions or [],
             "metrics": metrics or {},
         }
         with open(os.path.join(self.dir, f"manifest_{iteration:05d}.json"), "w") as f:
             json.dump(manifest, f)
-        return reread
 
     # -- read ----------------------------------------------------------------
     def latest(self) -> dict | None:
