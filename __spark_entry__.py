@@ -337,8 +337,42 @@ def q_set_ops(spark, sf_dir):
     return clicked.join(purchased, "user_id", "left_anti")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (attribution): for each purchase, the same user's latest
+    prior click. Spark lacks a native as-of join — expressed as range
+    join + groupBy(max), the SURVEY §2.4 1-NN/as-of lookup family."""
+    ev = load_table(spark, sf_dir, "events").persist()
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("buy_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    joined = buys.join(
+        clicks, (buys.user_id == clicks.cu) & (clicks.click_ts < buys.buy_ts), "left"
+    )
+    return joined.groupBy("event_id").agg(
+        F.max("click_ts").alias("last_click_ts")
+    )
+
+
+def q_prune_by_bucket(spark, sf_dir):
+    """prunePointsWithinDistance graft (PGS_PointSet.java:87-121): dedup rows
+    by a quantized proximity key, keep the minimum id per bucket."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 100.0)
+    w = W.partitionBy(bucket, "c_nationkey").orderBy("c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_nationkey", bucket.cast("long").alias("bal_bucket"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "asof_join": q_asof_join,
+        "prune_by_bucket": q_prune_by_bucket,
         "sessionize": q_sessionize,
         "event_pivot": q_event_pivot,
         "json_extract": q_json_extract,
@@ -386,6 +420,23 @@ def oracle_sql() -> dict[str, str]:
         for t in EVENT_TYPES
     )
     return {
+        "asof_join": """
+            SELECT b.event_id, MAX(c.ts) AS last_click_ts
+            FROM events b
+            LEFT JOIN events c
+              ON c.user_id = b.user_id AND c.event_type = 'click' AND c.ts < b.ts
+            WHERE b.event_type = 'purchase'
+            GROUP BY b.event_id
+        """,
+        "prune_by_bucket": """
+            SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_bucket
+            FROM (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       ROW_NUMBER() OVER (PARTITION BY FLOOR(c_acctbal / 100.0), c_nationkey
+                                          ORDER BY c_custkey) AS rn
+                FROM customer) t
+            WHERE rn = 1
+        """,
         "sessionize": f"""
             WITH g AS (
                 SELECT user_id,

@@ -128,9 +128,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     }
 
 
-def run_pagerank_throughput(edges_path: str, cpus: int, supersteps: int) -> dict:
+def run_pagerank_throughput(
+    edges_path: str, cpus: int, supersteps: int, warmup: int = 2
+) -> dict:
     """One fixed-superstep PageRank run on a pre-built edge table; returns
-    throughput. Run in a fresh JVM per parallelism level."""
+    throughput from the MEDIAN steady-state superstep (first `warmup`
+    supersteps excluded — JIT + cache materialization; median because single
+    GC stragglers would otherwise dominate a 5-10 superstep sample). Run in a
+    fresh JVM per parallelism level."""
+    import statistics
+
     from pgs_spark.operators.pagerank import pagerank
     from pgs_spark.session import get_spark
 
@@ -140,25 +147,48 @@ def run_pagerank_throughput(edges_path: str, cpus: int, supersteps: int) -> dict
     edges = spark.read.parquet(edges_path)
     n_edges = edges.count()
     res = pagerank(spark, edges, fixed_iterations=supersteps)
-    superstep_secs = sum(h["seconds"] for h in res.history)
+    secs = [h["seconds"] for h in res.history]
+    steady = secs[warmup:] if len(secs) > warmup else secs
+    median = statistics.median(steady)
     spark.stop()
     return {
         "cpus": cpus,
         "edges": n_edges,
         "supersteps": supersteps,
-        "superstep_secs": round(superstep_secs, 3),
-        "edges_per_sec_per_superstep": round(n_edges * supersteps / superstep_secs, 1),
+        "superstep_secs_all": [round(s, 2) for s in secs],
+        "median_superstep_secs": round(median, 3),
+        "total_superstep_secs": round(sum(secs), 3),
+        "edges_per_sec_per_superstep": round(n_edges / median, 1),
     }
 
 
 def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, supersteps: int):
-    """Two-parallelism scaling evidence → BENCH/BASELINE.md."""
+    """Two-parallelism scaling evidence → BENCH/BASELINE.md.
+
+    Sandbox methodology (single 32-core box standing in for an N- vs
+    4N-executor cluster):
+    - same seeded input parquet for both levels, fresh JVM per level;
+    - shuffle spill on tmpfs when available — one local disk would serialize
+      shuffle I/O across cores, which per-executor disks on a cluster do not;
+    - throughput = |E| / median steady-state superstep (2 warmup supersteps
+      excluded; median so a single GC straggler cannot dominate).
+    """
     from pgs_spark.session import get_spark
 
-    path = "/tmp/pgs_bench_edges"
-    spark = get_spark(app_name="pgs-edgegen", master=f"local[{n_high}]", shuffle_partitions=n_high)
-    build_synthetic_edges(spark, n_vertices, n_edges, seed=42, path=path)
-    spark.stop()
+    path = f"/tmp/pgs_bench_edges_{n_vertices}_{n_edges}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        spark = get_spark(
+            app_name="pgs-edgegen", master=f"local[{n_high}]", shuffle_partitions=n_high * 2
+        )
+        build_synthetic_edges(spark, n_vertices, n_edges, seed=42, path=path)
+        spark.stop()
+
+    env = dict(os.environ)
+    if os.path.isdir("/dev/shm") and "PGS_SPARK_LOCAL_DIR" not in env:
+        local = "/dev/shm/pgs-spark-bench"
+        os.makedirs(local, exist_ok=True)
+        env["PGS_SPARK_LOCAL_DIR"] = local
+    env.setdefault("PGS_SPARK_DRIVER_MEM", "32g")
 
     results = []
     for cpus in (n_low, n_high):
@@ -167,6 +197,7 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
             capture_output=True,
             text=True,
             check=True,
+            env=env,
         )
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
 
@@ -185,19 +216,23 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
             f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N parallelism on
-the same input (sandbox evidence for the N->4N executor criterion).
+the same input (sandbox evidence for the N->4N executor criterion; this box
+has one shared memory bus and one OS image, so shuffle spill goes to tmpfs and
+throughput is the median steady-state superstep — see bench.py docstring).
 
 Input: deterministic synthetic Zipf link graph, seed=42,
 {n_vertices:,} vertices, {lo['edges']:,} edges (parquet at {path}).
-Workload: PageRank, {supersteps} fixed supersteps (power iteration with
-teleport 0.15 and dangling-mass redistribution), fresh JVM per level.
+Workload: PageRank (power iteration, teleport 0.15, dangling-mass
+redistribution), {supersteps} fixed supersteps, first 2 excluded as warmup,
+fresh JVM per level. Superstep state checkpoints to parquet (off-heap) —
+on-heap localCheckpoint state caused multi-second Full-GC pauses.
 
-| parallelism | superstep wall (s) | edges/sec/superstep |
-|---|---|---|
-| local[{n_low}] | {lo['superstep_secs']} | {lo['edges_per_sec_per_superstep']:,} |
-| local[{n_high}] | {hi['superstep_secs']} | {hi['edges_per_sec_per_superstep']:,} |
+| parallelism | per-superstep secs (all) | median steady (s) | edges/sec/superstep |
+|---|---|---|---|
+| local[{n_low}] | {lo['superstep_secs_all']} | {lo['median_superstep_secs']} | {lo['edges_per_sec_per_superstep']:,.0f} |
+| local[{n_high}] | {hi['superstep_secs_all']} | {hi['median_superstep_secs']} | {hi['edges_per_sec_per_superstep']:,.0f} |
 
-speedup {n_low}->{n_high}: **{report['speedup']}x** (ideal {n_high//n_low}x)
+speedup {n_low}->{n_high}: **{report['speedup']}x** (ideal {n_high // n_low}x)
 scaling efficiency: **{report['scaling_efficiency']}** (target >= 0.8)
 
 Reproduce: `python bench.py --scaling`
@@ -215,9 +250,9 @@ def main():
         run_scaling(
             n_low=int(os.environ.get("PGS_SCALE_LOW", "8")),
             n_high=int(os.environ.get("PGS_SCALE_HIGH", "32")),
-            n_vertices=int(os.environ.get("PGS_SCALE_VERTICES", "500000")),
-            n_edges=int(os.environ.get("PGS_SCALE_EDGES", "5000000")),
-            supersteps=int(os.environ.get("PGS_SCALE_SUPERSTEPS", "5")),
+            n_vertices=int(os.environ.get("PGS_SCALE_VERTICES", "20000000")),
+            n_edges=int(os.environ.get("PGS_SCALE_EDGES", "200000000")),
+            supersteps=int(os.environ.get("PGS_SCALE_SUPERSTEPS", "9")),
         )
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
