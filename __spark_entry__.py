@@ -277,7 +277,7 @@ def q_sessionize(spark, sf_dir):
     (lag + running sum — the SURVEY §2.6 window family)."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
-    us = F.unix_micros(F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ; session TZ is UTC
     gap = us - F.lag(us).over(w)
     sess = F.sum(
         F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
@@ -295,7 +295,7 @@ def q_event_pivot(spark, sf_dir):
     return (
         ev.groupBy("user_id")
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.count("*"))
+        .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
         .select("user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES])
     )
@@ -351,8 +351,10 @@ def q_asof_join(spark, sf_dir):
     joined = buys.join(
         clicks, (buys.user_id == clicks.cu) & (clicks.click_ts < buys.buy_ts), "left"
     )
+    # epoch-micros output: integer-exact across engines (raw timestamps differ
+    # only in pandas storage unit, but integers remove the hazard entirely)
     return joined.groupBy("event_id").agg(
-        F.max("click_ts").alias("last_click_ts")
+        F.max(F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("last_click_us")
     )
 
 
@@ -421,7 +423,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "asof_join": """
-            SELECT b.event_id, MAX(c.ts) AS last_click_ts
+            SELECT b.event_id, MAX(epoch_us(c.ts)) AS last_click_us
             FROM events b
             LEFT JOIN events c
               ON c.user_id = b.user_id AND c.event_type = 'click' AND c.ts < b.ts

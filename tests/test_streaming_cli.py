@@ -18,6 +18,7 @@ def test_streaming_windowed_counts(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(os.path.dirname(src) + "/")
     agg = (
         stream.filter(F.col("event_type").isNotNull())
+        .withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → event-time type
         .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("v"))

@@ -27,7 +27,10 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:  # unify datetime storage units (ns vs us)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
