@@ -246,6 +246,12 @@ def q_lsh_buckets(spark, sf_dir):
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_kmeans(spark, sf_dir):
+    from pgs_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=4, iterations=2)
+
+
 def q_stochastic_merge(spark, sf_dir):
     from pgs_spark.operators.merge import stochastic_merge
 
@@ -393,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_buckets": q_lsh_buckets,
+        "kmeans": q_kmeans,
         "derive_edges": q_derive_edges,
         "degrees": q_degrees,
         "pagerank": q_pagerank,
@@ -496,6 +503,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dsql.simhash_sql(),
         "ann_cosine_topk": dsql.ann_cosine_sql(),
         "ann_lsh_buckets": dsql.lsh_buckets_sql(),
+        "kmeans": __import__(
+            "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]
+        ).kmeans_sql(k=4, iterations=2),
         "derive_edges": dense,
         "degrees": osql.degrees_sql(dense),
         "pagerank": osql.pagerank_sql(CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS),

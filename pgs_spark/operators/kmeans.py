@@ -1,0 +1,96 @@
+"""K-means (Lloyd) as pure relational algebra — no UDF, no driver collect.
+
+Graft of PGS_PointSet.cluster (PGS_PointSet.java:297-325: Lloyd iterations,
+fixed max iteration count, deterministic seeded init). Init is deterministic
+(the first k vectors by id); each iteration is two joins + two aggregations:
+
+  dims     = explode vectors to (id, dim_index, value) rows
+  distances= dims ⋈ centroid_dims on dim_index → Σ(v−c)² per (id, cluster)
+  assign   = per-id argmin (tie → lowest cluster id — explicit determinism)
+  update   = per-(cluster, dim_index) mean of member values
+
+Everything stays JVM-side whole-stage codegen; at 10^9 vectors the dims table
+is the only large relation and both joins are hash-partitioned on dim_index /
+vec_id. Fixed `iterations` keeps it oracle-unrollable (the reference caps at
+25 iterations the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dims(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)),
+    ).select(
+        "vec_id", (F.col("pos") + 1).alias("i"), F.col("col").cast("double").alias("val")
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) after `iterations` Lloyd steps; init centroids are
+    the vectors with the k smallest ids."""
+    dims = _dims(embeddings, id_col, vec_col).persist()
+    cent = dims.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c"), "i", F.col("val").alias("cval")
+    )
+    assign = None
+    for _ in range(iterations):
+        d2 = (
+            dims.join(cent, "i")
+            .groupBy("vec_id", "c")
+            .agg(
+                F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("dist2")
+            )
+        )
+        w_min = d2.groupBy("vec_id").agg(F.min("dist2").alias("m"))
+        assign = (
+            d2.join(w_min, "vec_id")
+            .filter(F.col("dist2") == F.col("m"))
+            .groupBy("vec_id")
+            .agg(F.min("c").alias("cluster"))
+        )
+        cent = (
+            assign.join(dims, "vec_id")
+            .groupBy(F.col("cluster").alias("c"), "i")
+            .agg(F.avg("val").alias("cval"))
+        )
+    return assign.select("vec_id", "cluster")
+
+
+def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
+    """DuckDB oracle mirroring kmeans_assign structurally."""
+    parts = [
+        "dims AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
+        "unnest(embedding::DOUBLE[]) AS val FROM embeddings)",
+        f"cent0 AS MATERIALIZED (SELECT vec_id AS c, i, val AS cval FROM dims WHERE vec_id < {k})",
+    ]
+    prev_cent = "cent0"
+    assign = None
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"d{it} AS MATERIALIZED (SELECT d.vec_id, c.c, "
+            f"SUM((d.val - c.cval) * (d.val - c.cval)) AS dist2 "
+            f"FROM dims d JOIN {prev_cent} c ON d.i = c.i GROUP BY d.vec_id, c.c)"
+        )
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT vec_id, MIN(c) AS cluster FROM ("
+            f"SELECT vec_id, c, dist2, MIN(dist2) OVER (PARTITION BY vec_id) AS m FROM d{it}) t "
+            f"WHERE dist2 = m GROUP BY vec_id)"
+        )
+        parts.append(
+            f"cent{it} AS MATERIALIZED (SELECT a.cluster AS c, d.i, AVG(d.val) AS cval "
+            f"FROM a{it} a JOIN dims d ON a.vec_id = d.vec_id GROUP BY a.cluster, d.i)"
+        )
+        prev_cent = f"cent{it}"
+        assign = f"a{it}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster FROM {assign}"
