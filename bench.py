@@ -116,8 +116,33 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "pagerank_custsupp_10it",
         lambda: pagerank(spark, cs, fixed_iterations=10).ranks.count(),
     )
+
+    # 4. training-data ops over documents/embeddings.
+    from pgs_spark.operators.dedup import minhash_candidates
+    from pgs_spark.operators.kmeans import kmeans_assign
+    from pgs_spark.operators.similarity import cosine_topk
+    from pgs_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    docs.count()
+    extra["minhash_pairs"] = timed(
+        "dedup_minhash_lsh", lambda: minhash_candidates(docs).count()
+    )
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
+    timed(
+        "ann_cosine_topk",
+        lambda: cosine_topk(emb, emb.limit(50), k=5).count(),
+    )
+    timed("kmeans_2it", lambda: kmeans_assign(emb, k=4, iterations=2).count())
+
     spark.stop()
     total = round(sum(timings.values()), 3)
+    scaling = {}
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            scaling = {"scaling": json.load(f)}
     return {
         "metric": "headline_total",
         "value": total,
@@ -125,6 +150,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         **extra,
+        **scaling,
     }
 
 
@@ -211,6 +237,8 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
         "scaling_efficiency": round(efficiency, 3),
     }
     os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(report, f)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-parallelism scaling evidence
