@@ -334,6 +334,30 @@ def q_percentiles(spark, sf_dir):
     )
 
 
+def q_weighted_median(spark, sf_dir):
+    """weightedMedian graft (PGS_PointSet.java:343): smallest value whose
+    cumulative weight reaches half the total. RANGE frame (not ROWS) so ties
+    aggregate together — deterministic under any row order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    tot = W.partitionBy("l_returnflag")
+    scored = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("cumw"),
+        F.sum("l_quantity").over(tot).alias("total"),
+    )
+    return (
+        scored.filter(F.col("cumw") >= F.col("total") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 4).alias("wmedian"))
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Users who clicked but never purchased (anti-join / EXCEPT family,
     SURVEY §2.7)."""
@@ -386,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "hash_sample": q_hash_sample,
         "percentiles": q_percentiles,
+        "weighted_median": q_weighted_median,
         "set_ops": q_set_ops,
         "stochastic_merge": q_stochastic_merge,
         "kcore": q_kcore,
@@ -480,6 +505,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
                    ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "weighted_median": """
+            WITH scored AS (
+                SELECT l_returnflag, l_extendedprice,
+                       SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                             ORDER BY l_extendedprice
+                                             RANGE UNBOUNDED PRECEDING) AS cumw,
+                       SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+                FROM lineitem)
+            SELECT l_returnflag, ROUND(MIN(l_extendedprice), 4) AS wmedian
+            FROM scored WHERE cumw >= total / 2.0
+            GROUP BY l_returnflag
         """,
         "set_ops": """
             SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
