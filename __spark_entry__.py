@@ -335,9 +335,12 @@ def q_percentiles(spark, sf_dir):
 
 
 def q_weighted_median(spark, sf_dir):
-    """weightedMedian graft (PGS_PointSet.java:343): smallest value whose
-    cumulative weight reaches half the total. RANGE frame (not ROWS) so ties
-    aggregate together — deterministic under any row order."""
+    """Standard 1D lower weighted median — smallest value whose cumulative
+    weight reaches half the total — *inspired by* the reference's
+    weighted-median capability (PGS_PointSet.weightedMedian,
+    PGS_PointSet.java:343, which computes a 2D Weiszfeld geometric median;
+    this is the 1D analog, not a semantic match). RANGE frame (not ROWS) so
+    ties aggregate together — deterministic under any row order."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_returnflag")
@@ -369,22 +372,32 @@ def q_set_ops(spark, sf_dir):
 
 def q_asof_join(spark, sf_dir):
     """As-of join (attribution): for each purchase, the same user's latest
-    prior click. Spark lacks a native as-of join — expressed as range
-    join + groupBy(max), the SURVEY §2.4 1-NN/as-of lookup family."""
-    ev = load_table(spark, sf_dir, "events").persist()
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.col("ts").alias("buy_ts")
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
-    )
-    joined = buys.join(
-        clicks, (buys.user_id == clicks.cu) & (clicks.click_ts < buys.buy_ts), "left"
-    )
+    prior click. Spark lacks a native as-of join — expressed as ONE sort-based
+    window per user (max click-ts over the strictly-preceding RANGE frame),
+    the SURVEY §2.4 1-NN/as-of lookup family.
+
+    The previous join-then-groupBy(max) plan fanned out c·p rows per user
+    (clicks × purchases — quadratic on skewed users); the window plan is
+    linear: one shuffle on user_id, one sort, no fanout.
+    """
+    ev = load_table(spark, sf_dir, "events")
     # epoch-micros output: integer-exact across engines (raw timestamps differ
     # only in pandas storage unit, but integers remove the hazard entirely)
-    return joined.groupBy("event_id").agg(
-        F.max(F.unix_micros(F.col("click_ts").cast("timestamp"))).alias("last_click_us")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # RANGE frame ending at -1: values strictly before this row's ts — the
+    # exact `click_ts < buy_ts` predicate of the oracle's inequality join.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", us)
+    ).over(w)
+    return (
+        ev.withColumn("last_click_us", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "last_click_us")
     )
 
 
@@ -473,13 +486,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": f"""
             WITH g AS (
-                SELECT user_id,
+                SELECT user_id, ts, event_id,
                        CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
                                  OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (SELECT user_id,
                          SUM(new_sess) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
                                              ROWS UNBOUNDED PRECEDING) AS session_id
                   FROM g)
             SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,

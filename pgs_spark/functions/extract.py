@@ -76,7 +76,17 @@ def with_refs(code_files: DataFrame, verify_sha: bool = True) -> DataFrame:
                 seen = pdf["content"].map(
                     lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest()
                 )
-                pdf = pdf[seen == pdf["sha256"]]
+                bad = (seen != pdf["sha256"]).sum()
+                if bad:
+                    # Fail loudly: a sha mismatch means the Arrow transfer (or
+                    # the upstream stamp) corrupted content — silently dropping
+                    # rows would shrink the edge table with no signal,
+                    # violating the row-for-row integrity contract
+                    # (BASELINE.json input_hint: content sha256 equality).
+                    raise ValueError(
+                        f"with_refs: {int(bad)} row(s) failed sha256 verification "
+                        f"(first bad repo: {pdf.loc[seen != pdf['sha256'], 'repo'].iloc[0]!r})"
+                    )
             outs = []
             for lg, pattern in LANG_PATTERNS.items():
                 mask = pdf["lang"] == lg

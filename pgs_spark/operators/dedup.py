@@ -24,8 +24,12 @@ from pgs_spark.functions.text import shingles, tokens
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, keep_id): keep_id = min id among rows with identical content."""
-    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("h"))
+    """(id, keep_id): keep_id = min id among rows with identical content.
+
+    Keyed on sha256 (not md5): web-scale corpora contain adversarial content,
+    and md5 collisions are constructible — two crafted documents would merge.
+    sha256 is bit-identical Spark↔DuckDB, so the oracle stays exact."""
+    hashed = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("h"))
     keep = hashed.groupBy("h").agg(F.min(id_col).alias("keep_id"))
     return hashed.join(keep, "h").select(F.col(id_col), "keep_id")
 

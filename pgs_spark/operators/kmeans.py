@@ -38,9 +38,16 @@ def kmeans_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cluster) after `iterations` Lloyd steps; init centroids are
-    the vectors with the k smallest ids."""
+    the vectors with the k smallest ids (the actual k smallest — not
+    `id < k`, which silently under-initializes on non-0-based id spaces)."""
     dims = _dims(embeddings, id_col, vec_col).persist()
-    cent = dims.filter(F.col("vec_id") < k).select(
+    init_ids = (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .distinct()
+        .orderBy("vec_id")
+        .limit(k)
+    )
+    cent = dims.join(F.broadcast(init_ids), "vec_id").select(
         F.col("vec_id").alias("c"), "i", F.col("val").alias("cval")
     )
     assign = None
@@ -64,7 +71,9 @@ def kmeans_assign(
             .groupBy(F.col("cluster").alias("c"), "i")
             .agg(F.avg("val").alias("cval"))
         )
-    return assign.select("vec_id", "cluster")
+    out = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
+    dims.unpersist()  # long-lived sessions must not accumulate cached state
+    return out
 
 
 def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
@@ -72,7 +81,9 @@ def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
     parts = [
         "dims AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
         "unnest(embedding::DOUBLE[]) AS val FROM embeddings)",
-        f"cent0 AS MATERIALIZED (SELECT vec_id AS c, i, val AS cval FROM dims WHERE vec_id < {k})",
+        f"init_ids AS (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})",
+        "cent0 AS MATERIALIZED (SELECT d.vec_id AS c, d.i, d.val AS cval FROM dims d "
+        "JOIN init_ids USING (vec_id))",
     ]
     prev_cent = "cent0"
     assign = None

@@ -119,6 +119,8 @@ def pagerank(
             start_iter, ranks, m = resumed
             d_mass = m.get("dangling_mass", d_mass)
             if m.get("delta", 1.0) < tol and fixed_iterations is None:
+                vstate.unpersist()  # early return must not leak cached state
+                w_edges.unpersist()
                 return PageRankResult(ranks.select("id", "rank"), start_iter, True, history)
     if ranks is None:
         ranks = vstate.select("id", F.lit(1.0 / n).alias("rank"))

@@ -69,7 +69,7 @@ SELECT doc_id, CAST(len(f) AS INT) AS n_fp, list_min(f) AS min_fp FROM fp
 
 def dedup_exact_sql() -> str:
     return """
-WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents),
 keep AS (SELECT h, MIN(doc_id) AS keep_id FROM h GROUP BY h)
 SELECT a.doc_id, k.keep_id FROM h a JOIN keep k ON a.h = k.h
 """

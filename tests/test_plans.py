@@ -52,6 +52,19 @@ def test_pagerank_gather_avoids_broadcast_build(spark):
     assert not uses_broadcast_join(j)
 
 
+def test_asof_join_is_window_not_join(spark):
+    """The as-of lookup must compile to one sort-based window per user —
+    NOT a join-then-aggregate, whose c·p fanout is quadratic on skewed users."""
+    import __spark_entry__ as entry
+
+    from pgs_spark.plans.explain import plan_string
+
+    q = entry.q_asof_join(spark, SF)
+    plan = plan_string(q)
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
 def test_codegen_covers_agg_pipeline(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
