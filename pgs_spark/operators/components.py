@@ -23,14 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _snapshot(df: DataFrame, work_dir: str, name: str) -> DataFrame:
-    """Write-and-reread parquet: flat lineage with OFF-HEAP state. For large
-    graphs this beats localCheckpoint, whose deserialized RDD blocks stay
-    on-heap across rounds and drive multi-second GC pauses."""
-    path = os.path.join(work_dir, name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+from pgs_spark.operators.state import snapshot as _snapshot
 
 
 def _signature(e: DataFrame) -> tuple[int, int]:

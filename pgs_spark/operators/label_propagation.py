@@ -12,16 +12,26 @@ the reference explicitly sorts before order-sensitive steps
 (PGS_Conversion.java:1087-1088). Convergence = zero label changes (the
 GeneticColoring stopping rule: iterate until conflict count is 0,
 commons/GeneticColoring.java:41-95), with a max-superstep guard.
+
+Superstep state (|V| label rows) snapshots to parquet via CheckpointManager —
+the same off-heap fix PageRank/CC got: localCheckpoint keeps every superstep's
+rows as deserialized on-heap RDD blocks that unpersist() cannot free; at 20M
+vertices that produced multi-second Full-GC pauses every superstep. With a
+durable ``checkpoint_dir`` the run also resumes mid-convergence (manifest
+carries iteration + changed-count; input fingerprint guards cross-input reuse).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgs_spark.operators.edges import symmetrize
+from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
 
 
 @dataclass
@@ -38,6 +48,7 @@ def label_propagation(
     max_iter: int = 10,
     seed: int | None = None,
     n_initial_labels: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> LPAResult:
     """LPA over a canonical undirected edge table.
 
@@ -54,12 +65,32 @@ def label_propagation(
         )
     else:
         labels = verts.select("id", F.col("id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+
+    durable = checkpoint_dir is not None
+    if not durable:
+        checkpoint_dir = tempfile.mkdtemp(
+            prefix="pgs_lpa_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
+        )
+    cp = CheckpointManager(
+        spark, checkpoint_dir, fingerprint_edges(undirected_edges) if durable else ""
+    )
+    start_iter = 0
+    if durable:
+        resumed = cp.resume_point()
+        if resumed is None:
+            cp.clear()  # stale state from a different input — never mix
+        else:
+            start_iter, labels, m = resumed
+            if m.get("changed", 1) == 0:
+                sym.unpersist()
+                return LPAResult(labels.select("id", "label"), start_iter, True, [])
+    if start_iter == 0:
+        labels = cp.save(labels, 0, lineage=False)  # init state off-heap too
 
     history: list[dict] = []
     converged = False
-    iterations = 0
-    for it in range(1, max_iter + 1):
+    iterations = start_iter
+    for it in range(start_iter + 1, max_iter + 1):
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), "label"
         )
@@ -70,11 +101,12 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("s"))
             .select("id", (-F.col("s.nl")).alias("new_label"))
         )
-        new_labels = (
-            labels.join(best, "id", "left")
-            .select("id", F.coalesce("new_label", "label").alias("label"))
-            .localCheckpoint(eager=False)  # materialized by the changed-count action
+        new_labels = labels.join(best, "id", "left").select(
+            "id", F.coalesce("new_label", "label").alias("label")
         )
+        # Snapshot (job 1: parquet write, state off-heap), then the
+        # changed-count action reads the snapshot (job 2).
+        new_labels = cp.save(new_labels, it, lineage=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -84,8 +116,10 @@ def label_propagation(
         labels = new_labels
         iterations = it
         history.append({"iteration": it, "changed": changed})
+        cp.write_manifest(it, {"iteration": it, "changed": changed})
+        cp.prune(keep_last=2)
         if changed == 0:
             converged = True
             break
     sym.unpersist()
-    return LPAResult(labels, iterations, converged, history)
+    return LPAResult(labels.select("id", "label"), iterations, converged, history)

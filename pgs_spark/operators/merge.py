@@ -112,17 +112,25 @@ def kcore(
     vertices until none remain). Fixed `rounds` keeps it oracle-unrollable;
     rounds=None-style full convergence is just a larger bound.
 
+    Per-round edge state snapshots to parquet (off-heap, alternating two
+    paths) — the same GC fix PageRank/CC got; localCheckpoint pinned every
+    round's |E| rows on-heap.
+
     Returns the surviving canonical edge set."""
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_kcore_")
     e = undirected_edges
-    for _ in range(rounds):
+    for r in range(rounds):
         deg = (
             symmetrize(e).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("id")
-        e = (
+        e = snapshot(
             e.join(keep.select(F.col("id").alias("src")), "src")
             .join(keep.select(F.col("id").alias("dst")), "dst")
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
+            .select("src", "dst"),
+            work_dir,
+            f"edges_{r % 2}",
         )
     return e

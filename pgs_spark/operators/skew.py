@@ -72,6 +72,30 @@ def salted_sum(
     return partial.groupBy(key).agg(F.sum("_partial").alias(value))
 
 
+def salted_sum_flagged(
+    df: DataFrame, key: str, value: str, buckets: int, flag_col: str
+) -> DataFrame:
+    """Heavy-hitter-split two-stage sum in ONE pass over `df`.
+
+    Rows whose `flag_col` is true (pre-marked heavy keys) get a
+    partition-derived salt so their final aggregation spreads across
+    `buckets` tasks; cold rows get salt 0, making their first stage exactly
+    the plain map-side-combine plan. The second stage then sums at most
+    `buckets` partial rows per key — |distinct keys| rows total, trivially
+    cheap next to the |rows| first stage. Unlike filtering df into hot/cold
+    branches, the input is scanned once (a join output feeding two branches
+    would execute twice)."""
+    salt = F.when(
+        F.col(flag_col), F.pmod(F.spark_partition_id(), F.lit(buckets))
+    ).otherwise(F.lit(0)).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.sum(value).alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").alias(value))
+
+
 def skew_ratio(df: DataFrame, key: str) -> float:
     """max/mean rows per key — the per-iteration skew metric the manifests
     record (north rule: iteration metrics include skew ratio)."""
