@@ -26,6 +26,8 @@ from pgs_spark.sources.tpch_graph import (
     CUSTOMER_SUPPLIER_SQL,
     co_purchase_edges,
     co_purchase_sql,
+    co_purchase_weighted_edges,
+    co_purchase_weighted_sql,
     customer_supplier_edges,
 )
 
@@ -79,6 +81,38 @@ def q_degrees(spark, sf_dir):
 def q_pagerank(spark, sf_dir):
     e = customer_supplier_edges(spark, sf_dir).persist()
     res = pagerank(spark, e, fixed_iterations=PR_ITERS)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank_r"))
+
+
+def q_derive_edges_weighted(spark, sf_dir):
+    """Weighted toDualGraph graft (PGS_Conversion.java:933 setEdgeWeight;
+    PGS_Triangulation.java:636-650 weighted dual graph): canonical edges with
+    a co-occurrence-count weight column."""
+    return co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE)
+
+
+def q_weighted_degrees(spark, sf_dir):
+    """Vertex strength: Σ edge weight per endpoint (weighted degree count,
+    the weighted analog of PMesh.initMeshVertices edge counting)."""
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE)
+    sym = we.union(
+        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("long").alias("strength"), F.count("*").alias("degree")
+    )
+
+
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted PageRank: rank splits over out-edges ∝ edge weight
+    (contribution = rank·w/Σw). 5 fixed supersteps, 6dp rounding."""
+    from pgs_spark.operators.pagerank import pagerank as pr
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE).persist()
+    directed = we.union(
+        we.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    res = pr(spark, directed, fixed_iterations=5, weight_col="weight")
     return res.ranks.select("id", F.round("rank", 6).alias("rank_r"))
 
 
@@ -225,6 +259,23 @@ def q_ngram_jaccard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").persist()
     pairs = minhash_candidates(docs)
     return ngram_jaccard(docs, pairs)
+
+
+def q_minhash_hot_bucket(spark, sf_dir):
+    """LSH candidate generation with a DELIBERATELY hot bucket: 100 clones of
+    doc 0 under fresh ids share every band bucket, blowing past the cap (16)
+    — the capped path must star-link them to the bucket min instead of
+    emitting ~5k all-pairs rows (the unbounded-bucket scale-killer)."""
+    from pgs_spark.operators.dedup import minhash_candidates
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seed_text = docs.filter(F.col("doc_id") == 0).select("text")
+    clones = (
+        spark.range(100)
+        .crossJoin(F.broadcast(seed_text))
+        .select((F.col("id") + 10000).alias("doc_id"), "text")
+    )
+    return minhash_candidates(docs.union(clones), max_bucket=16)
 
 
 def q_simhash(spark, sf_dir):
@@ -433,14 +484,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_fingerprints,
         "dedup_exact": q_dedup_exact,
         "minhash_candidates": q_minhash_candidates,
+        "minhash_hot_bucket": q_minhash_hot_bucket,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_buckets": q_lsh_buckets,
         "kmeans": q_kmeans,
         "derive_edges": q_derive_edges,
+        "derive_edges_weighted": q_derive_edges_weighted,
         "degrees": q_degrees,
+        "weighted_degrees": q_weighted_degrees,
         "pagerank": q_pagerank,
+        "pagerank_weighted": q_pagerank_weighted,
         "connected_components": q_components,
         "label_propagation": q_lpa,
         "triangle_count": q_triangles,
@@ -462,6 +517,12 @@ def oracle_sql() -> dict[str, str]:
 
     dense = co_purchase_sql(MINQ_DENSE)
     sparse = co_purchase_sql(MINQ_SPARSE)
+    dense_w = co_purchase_weighted_sql(MINQ_DENSE)
+    dense_w_sym = (
+        f"WITH we AS MATERIALIZED ({dense_w}) "
+        "SELECT src, dst, weight FROM we "
+        "UNION ALL SELECT dst AS src, src AS dst, weight FROM we"
+    )
     pivot_cols = ",\n".join(
         f"COALESCE(COUNT(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}"
         for t in EVENT_TYPES
@@ -550,6 +611,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": dsql.fingerprint_sql(),
         "dedup_exact": dsql.dedup_exact_sql(),
         "minhash_candidates": dsql.minhash_candidates_sql(),
+        "minhash_hot_bucket": dsql.minhash_hot_bucket_sql(),
         "ngram_jaccard": dsql.ngram_jaccard_sql(),
         "simhash": dsql.simhash_sql(),
         "ann_cosine_topk": dsql.ann_cosine_sql(),
@@ -558,8 +620,20 @@ def oracle_sql() -> dict[str, str]:
             "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]
         ).kmeans_sql(k=4, iterations=2),
         "derive_edges": dense,
+        "derive_edges_weighted": dense_w,
         "degrees": osql.degrees_sql(dense),
+        "weighted_degrees": f"""
+            WITH we AS MATERIALIZED ({dense_w}),
+            sym AS (SELECT src, dst, weight FROM we
+                    UNION ALL SELECT dst, src, weight FROM we)
+            SELECT src AS id, CAST(SUM(weight) AS BIGINT) AS strength,
+                   COUNT(*) AS degree
+            FROM sym GROUP BY src
+        """,
         "pagerank": osql.pagerank_sql(CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS),
+        "pagerank_weighted": osql.pagerank_sql(
+            dense_w_sym, iterations=5, weighted=True
+        ),
         "connected_components": osql.components_sql(sparse),
         "label_propagation": osql.lpa_sql(dense, iterations=LPA_ITERS),
         "triangle_count": osql.triangle_count_sql(dense),

@@ -86,19 +86,67 @@ def minhash_bands(
     )
 
 
-def lsh_candidates(bands: DataFrame) -> DataFrame:
-    """Self-join band buckets → distinct candidate pairs (a < b).
+def capped_bucket_pairs(
+    items: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    max_bucket: int = 64,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Bucket self-join with HOT-BUCKET CAPPING: buckets of size ≤ max_bucket
+    produce all pairs (a < b); larger buckets produce a STAR to the bucket's
+    minimum id instead — O(m) rows, and for dedup purposes transitively
+    equivalent (every member still connects to the same duplicate cluster).
+
+    Without the cap one degenerate bucket (boilerplate, empty docs, zero
+    vectors) of m members costs m² join rows — the classic LSH blowup at
+    100 TB. Hot-bucket keys are few by construction, so the membership test
+    is a broadcast join; the input is scanned once per branch off the
+    caller's persisted relation.
+
+    No silent caps: pass `stats_out` to receive {n_hot_buckets,
+    n_rows_in_hot_buckets, max_bucket} — bench.py records these.
+    """
+    sizes = items.groupBy(*key_cols).agg(F.count("*").alias("_bsz"))
+    hot = sizes.filter(F.col("_bsz") > max_bucket).select(*key_cols)
+    marked = items.join(
+        F.broadcast(hot.withColumn("_hot", F.lit(True))), key_cols, "left"
+    )
+    cold = marked.filter(F.col("_hot").isNull())
+    x = cold.select(*key_cols, F.col(id_col).alias("a"))
+    y = cold.select(*key_cols, F.col(id_col).alias("b"))
+    cold_pairs = x.join(y, key_cols).filter(F.col("a") < F.col("b")).select("a", "b")
+    hot_rows = marked.filter(F.col("_hot"))
+    hot_min = hot_rows.groupBy(*key_cols).agg(F.min(id_col).alias("a"))
+    hot_pairs = (
+        hot_rows.join(hot_min, key_cols)
+        .filter(F.col(id_col) != F.col("a"))
+        .select("a", F.col(id_col).alias("b"))
+    )
+    if stats_out is not None:
+        row = (
+            sizes.filter(F.col("_bsz") > max_bucket)
+            .agg(F.count("*").alias("nb"), F.sum("_bsz").alias("nr"))
+            .first()
+        )
+        stats_out.update(
+            n_hot_buckets=int(row["nb"] or 0),
+            n_rows_in_hot_buckets=int(row["nr"] or 0),
+            max_bucket=max_bucket,
+        )
+    return cold_pairs.union(hot_pairs).distinct()
+
+
+def lsh_candidates(
+    bands: DataFrame, max_bucket: int = 64, stats_out: dict | None = None
+) -> DataFrame:
+    """Band buckets → distinct candidate pairs (a < b), hot buckets capped.
 
     The bands table feeds both join sides — persist so signatures compute
     once, not twice."""
     bands = bands.persist()
-    x = bands.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("a"))
-    y = bands.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("b"))
-    return (
-        x.join(y, ["band_idx", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    return capped_bucket_pairs(
+        bands, ["band_idx", "band_hash"], "id", max_bucket, stats_out
     )
 
 
@@ -109,8 +157,14 @@ def minhash_candidates(
     n_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
+    max_bucket: int = 64,
+    stats_out: dict | None = None,
 ) -> DataFrame:
-    return lsh_candidates(minhash_bands(df, id_col, text_col, n_hashes, band_size, k))
+    return lsh_candidates(
+        minhash_bands(df, id_col, text_col, n_hashes, band_size, k),
+        max_bucket,
+        stats_out,
+    )
 
 
 def ngram_jaccard(

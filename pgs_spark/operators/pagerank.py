@@ -56,12 +56,28 @@ def pagerank(
     num_partitions: int | None = None,
     collect_skew_metrics: bool = False,
     fixed_iterations: int | None = None,
+    weight_col: str | None = None,
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed edge table (src, dst).
 
     Matches networkx.pagerank semantics: teleport (1-alpha)/N, dangling mass
     redistributed uniformly, L1 convergence test. `fixed_iterations` runs an
     exact number of supersteps with no convergence test (for oracles).
+
+    ``weight_col`` switches to weighted PageRank: a vertex splits its rank
+    over out-edges proportionally to edge weight (contribution =
+    rank·w/Σw_src) — the reference's weighted graphs
+    (PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933; weighted dual
+    graph PGS_Triangulation.java:636-650).
+
+    Heavy-hitter skew splitting AUTO-ENGAGES: the build pass measures
+    in-degree skew; when the hub in-degree crosses both an absolute floor
+    (PGS_SALT_MIN_DEGREE, default 100k rows into one key's aggregation) and a
+    relative ratio (PGS_SALT_RATIO × mean, default 16), hub dst keys are
+    flagged on the persisted edge table and the gather aggregation routes
+    them through a two-stage salted sum (skew.salted_sum_flagged — cold keys
+    keep the plain plan bit-for-bit). Explicit ``salt_buckets`` forces the
+    legacy all-keys salted path; PGS_SALT_DISABLE=1 forces plain.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -72,7 +88,8 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    out_mass = F.sum(F.col(weight_col)) if weight_col else F.count("*")
+    outdeg = edges.groupBy("src").agg(out_mass.cast("double").alias("outdeg"))
     # vstate: (id, outdeg|null). Dangling vertices have null outdeg.
     vstate = (
         verts.join(outdeg, verts.id == outdeg.src, "left")
@@ -84,14 +101,47 @@ def pagerank(
     if n == 0:
         return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, True)
 
-    # weighted edges: contribution weight 1/outdeg; hash-partitioned on the
-    # join key ONCE so the per-superstep join only shuffles the ranks side.
-    w_edges = (
-        edges.join(outdeg, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        .repartition(num_partitions, "src")
-        .persist()
+    # In-degree skew stats (one aggregation; contribs is keyed by dst with one
+    # row per edge, so this ratio is exactly the per-superstep gather skew —
+    # constant across supersteps, recorded in every manifest).
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
+    istats = indeg.agg(
+        F.max("indeg").alias("mx"), F.avg("indeg").alias("avg")
+    ).first()
+    max_indeg = int(istats["mx"] or 0)
+    avg_indeg = float(istats["avg"] or 1.0)
+    skew_ratio_dst = round(max_indeg / avg_indeg, 2) if avg_indeg else 1.0
+
+    salt_min_degree = int(os.environ.get("PGS_SALT_MIN_DEGREE", "100000"))
+    salt_ratio = float(os.environ.get("PGS_SALT_RATIO", "16"))
+    auto_salt = (
+        salt_buckets is None
+        and not os.environ.get("PGS_SALT_DISABLE")
+        and max_indeg >= salt_min_degree
+        and max_indeg >= salt_ratio * avg_indeg
     )
+    n_hot_keys = 0
+    auto_buckets = min(num_partitions, 32)
+
+    # per-edge contribution weight: 1/outdeg (unweighted) or w/Σw (weighted);
+    # hash-partitioned on the join key ONCE so the per-superstep join only
+    # shuffles the ranks side.
+    contrib_w = (
+        (F.col(weight_col).cast("double") / F.col("outdeg"))
+        if weight_col
+        else (F.lit(1.0) / F.col("outdeg"))
+    )
+    w_edges = edges.join(outdeg, "src").select("src", "dst", contrib_w.alias("w"))
+    if auto_salt:
+        # bake the heavy-dst flag into the persisted edge table — zero
+        # per-superstep cost (the hot set is hub keys: tiny, broadcastable).
+        hot_thresh = max(float(salt_min_degree), salt_ratio * avg_indeg)
+        heavy = indeg.filter(F.col("indeg") >= hot_thresh).select("dst")
+        n_hot_keys = heavy.count()
+        w_edges = w_edges.join(
+            F.broadcast(heavy.withColumn("hot", F.lit(True))), "dst", "left"
+        ).select("src", "dst", "w", F.coalesce("hot", F.lit(False)).alias("hot"))
+    w_edges = w_edges.repartition(num_partitions, "src").persist()
     w_edges.count()  # materialize before the loop
 
     # Superstep state ALWAYS snapshots to parquet: |V| rows is cheap, lineage
@@ -138,11 +188,18 @@ def pagerank(
         # a broadcast of the full rank vector — a *serial* build that caps
         # scaling, Amdahl — or a sort-merge join that re-sorts the edges every
         # superstep.)
+        out_cols = ["dst", (F.col("rank") * F.col("w")).alias("contrib")] + (
+            ["hot"] if auto_salt else []
+        )
         contribs = w_edges.join(
             ranks.select("id", "rank").hint("shuffle_hash"), w_edges.src == F.col("id")
-        ).select("dst", (F.col("rank") * F.col("w")).alias("contrib"))
+        ).select(*out_cols)
         if salt_buckets:
             gathered = skew.salted_sum(contribs, "dst", "contrib", salt_buckets)
+        elif auto_salt:
+            gathered = skew.salted_sum_flagged(
+                contribs, "dst", "contrib", auto_buckets, "hot"
+            )
         else:
             gathered = contribs.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
         new_ranks = (
@@ -179,9 +236,12 @@ def pagerank(
             "delta": delta,
             "dangling_mass": d_mass,
             "seconds": time.time() - t0,
+            "skew_ratio_dst": skew_ratio_dst,
+            "salted": bool(salt_buckets or auto_salt),
+            "n_hot_keys": n_hot_keys,
         }
         if collect_skew_metrics:
-            metrics["skew_ratio_dst"] = skew.skew_ratio(contribs, "dst")
+            metrics["skew_ratio_dst_live"] = skew.skew_ratio(contribs, "dst")
         history.append(metrics)
         cp.write_manifest(it + 1, metrics)
         cp.prune(keep_last=2)

@@ -100,10 +100,14 @@ def lsh_buckets(
     return embeddings.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
 
 
-def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing an LSH bucket."""
-    x = buckets.select(F.col("bucket"), F.col("id").alias("a"))
-    y = buckets.select(F.col("bucket"), F.col("id").alias("b"))
-    return (
-        x.join(y, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket: int = 256, stats_out: dict | None = None
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing an LSH bucket, hot buckets
+    capped to a star on the bucket minimum (see dedup.capped_bucket_pairs —
+    a degenerate bucket of zero-vectors would otherwise cost m² pairs)."""
+    from pgs_spark.operators.dedup import capped_bucket_pairs
+
+    return capped_bucket_pairs(
+        buckets.persist(), ["bucket"], "id", max_bucket, stats_out
     )

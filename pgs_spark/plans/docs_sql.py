@@ -21,10 +21,14 @@ _SHINGLES = (
     "ELSE [] END"
 )
 
-DOC_BASE = f"""
-docs AS MATERIALIZED (SELECT doc_id, text, {TOKS} AS w FROM documents),
+def doc_base(source: str = "documents") -> str:
+    return f"""
+docs AS MATERIALIZED (SELECT doc_id, text, {TOKS} AS w FROM {source}),
 sh AS MATERIALIZED (SELECT doc_id, {_SHINGLES} AS s FROM docs)
 """
+
+
+DOC_BASE = doc_base()
 
 
 def token_stats_sql() -> str:
@@ -89,30 +93,65 @@ bands AS MATERIALIZED (
 """
 
 
-def _minhash_ctes(n_hashes: int = 8, band_size: int = 2) -> str:
+def _minhash_ctes(n_hashes: int = 8, band_size: int = 2, source: str = "documents") -> str:
     n_bands = n_hashes // band_size
     band_values = ", ".join(f"({b})" for b in range(n_bands))
-    return DOC_BASE.strip() + ",\n" + _MINHASH.format(
+    return doc_base(source).strip() + ",\n" + _MINHASH.format(
         n_hashes=n_hashes, band_values=band_values, band_size=band_size
     ).strip()
 
 
-def minhash_candidates_sql(n_hashes: int = 8, band_size: int = 2) -> str:
-    return f"""
-WITH {_minhash_ctes(n_hashes, band_size)}
-SELECT DISTINCT x.id AS a, y.id AS b
-FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-WHERE x.id < y.id
+# Hot-bucket-capped candidate pairs — mirrors dedup.capped_bucket_pairs:
+# buckets with > cap members emit a star to the bucket min instead of all
+# pairs (transitively equivalent for dedup, O(m) instead of O(m²)).
+_CAPPED_PAIRS = """
+bsizes AS MATERIALIZED (
+  SELECT band_idx, band_hash, COUNT(*) AS bsz FROM bands GROUP BY band_idx, band_hash),
+cold AS (SELECT b.* FROM bands b JOIN bsizes s USING (band_idx, band_hash) WHERE s.bsz <= {cap}),
+hot  AS (SELECT b.* FROM bands b JOIN bsizes s USING (band_idx, band_hash) WHERE s.bsz > {cap}),
+cold_pairs AS (
+  SELECT x.id AS a, y.id AS b FROM cold x JOIN cold y USING (band_idx, band_hash)
+  WHERE x.id < y.id),
+hot_min AS (SELECT band_idx, band_hash, MIN(id) AS a FROM hot GROUP BY band_idx, band_hash),
+hot_pairs AS (
+  SELECT m.a, h.id AS b FROM hot h JOIN hot_min m USING (band_idx, band_hash)
+  WHERE h.id <> m.a),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (SELECT a, b FROM cold_pairs UNION ALL SELECT a, b FROM hot_pairs))
 """
 
 
-def ngram_jaccard_sql(n_hashes: int = 8, band_size: int = 2) -> str:
+def minhash_candidates_sql(
+    n_hashes: int = 8, band_size: int = 2, cap: int = 64, source: str = "documents"
+) -> str:
+    return f"""
+WITH {_minhash_ctes(n_hashes, band_size, source)},
+{_CAPPED_PAIRS.format(cap=cap).strip()}
+SELECT a, b FROM pairs
+"""
+
+
+def minhash_hot_bucket_sql(n_clones: int = 100, cap: int = 16) -> str:
+    """The deliberately-hot-bucket query: documents plus `n_clones` copies of
+    doc 0's text under fresh ids — every band bucket those share blows past
+    `cap`, exercising the star path end to end."""
+    aug = f"""aug AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 10000 + i AS doc_id, (SELECT text FROM documents WHERE doc_id = 0) AS text
+  FROM range({n_clones}) t(i))"""
+    return f"""
+WITH {aug},
+{_minhash_ctes(source="aug")},
+{_CAPPED_PAIRS.format(cap=cap).strip()}
+SELECT a, b FROM pairs
+"""
+
+
+def ngram_jaccard_sql(n_hashes: int = 8, band_size: int = 2, cap: int = 64) -> str:
     return f"""
 WITH {_minhash_ctes(n_hashes, band_size)},
-pairs AS MATERIALIZED (
-  SELECT DISTINCT x.id AS a, y.id AS b
-  FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-  WHERE x.id < y.id),
+{_CAPPED_PAIRS.format(cap=cap).strip()},
 shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
 inter AS (

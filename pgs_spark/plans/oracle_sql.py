@@ -18,19 +18,37 @@ def sym_cte(edges_cte: str = "e") -> str:
     return f"SELECT src AS u, dst AS v FROM {edges_cte} UNION ALL SELECT dst, src FROM {edges_cte}"
 
 
-def pagerank_sql(edges_sql: str, iterations: int = 10, alpha: float = 0.85, round_to: int = 6) -> str:
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 10,
+    alpha: float = 0.85,
+    round_to: int = 6,
+    weighted: bool = False,
+) -> str:
     """Unrolled power iteration with dangling-mass redistribution.
 
     Reproduces the engine's exact update: r' = (1-a)/N + a*(gather + dm/N).
     The (1-alpha) literal is emitted via Python repr so both engines use the
-    bit-identical double constant.
+    bit-identical double constant. With ``weighted`` the edges CTE must yield
+    (src, dst, weight) and contribution weight is w/Σw_src — the same
+    cast-then-divide structure as the engine's weighted path (float-exact
+    across engines when the expression tree matches).
     """
+    if weighted:
+        odeg = (
+            "odeg AS MATERIALIZED (SELECT src AS id, "
+            "CAST(SUM(weight) AS DOUBLE) AS outdeg FROM e GROUP BY src)"
+        )
+        wexpr = "CAST(e.weight AS DOUBLE)/o.outdeg"
+    else:
+        odeg = "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)"
+        wexpr = "1.0/o.outdeg"
     parts = [
         f"e AS MATERIALIZED ({edges_sql})",
         "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)",
         "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts)",
-        "odeg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM e GROUP BY src)",
-        "w AS MATERIALIZED (SELECT e.src, e.dst, 1.0/o.outdeg AS w FROM e JOIN odeg o ON e.src = o.id)",
+        odeg,
+        f"w AS MATERIALIZED (SELECT e.src, e.dst, {wexpr} AS w FROM e JOIN odeg o ON e.src = o.id)",
         "r0 AS MATERIALIZED (SELECT v.id, 1.0/nn.n AS rank, o.outdeg FROM verts v CROSS JOIN nn "
         "LEFT JOIN odeg o ON v.id = o.id)",
     ]

@@ -65,6 +65,35 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def co_purchase_weighted_edges(
+    spark: SparkSession, sf_dir: str, min_quantity: int = 0
+) -> DataFrame:
+    """Canonical undirected edges with a multiplicity weight: the number of
+    distinct orders in which the two parts co-occur.
+
+    The weighted-graph graft: the reference attaches weights wherever graphs
+    feed algorithms (PGS_Conversion.java:933 ``setEdgeWeight(e, e.length())``;
+    quality-weighted dual graph PGS_Triangulation.java:636-650). Here weight =
+    co-occurrence count — the import-count weighting a dependency graph wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= min_quantity
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.col("a.l_partkey").cast("long").alias("src"),
+            F.col("b.l_partkey").cast("long").alias("dst"),
+        )
+        .distinct()  # one row per (order, pair)
+    )
+    return pairs.groupBy("src", "dst").agg(F.count("*").alias("weight"))
+
+
 # The same derivations as ANSI SQL for the DuckDB oracle.
 CO_PURCHASE_SQL = """
     SELECT DISTINCT
@@ -83,5 +112,21 @@ CUSTOMER_SUPPLIER_SQL = """
 """
 
 
+CO_PURCHASE_WEIGHTED_SQL = """
+    SELECT src, dst, COUNT(*) AS weight FROM (
+        SELECT DISTINCT a.l_orderkey,
+            CAST(a.l_partkey AS BIGINT) AS src,
+            CAST(b.l_partkey AS BIGINT) AS dst
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+          AND a.l_quantity >= {minq} AND b.l_quantity >= {minq}) p
+    GROUP BY src, dst
+"""
+
+
 def co_purchase_sql(min_quantity: int = 0) -> str:
     return CO_PURCHASE_SQL.format(minq=min_quantity)
+
+
+def co_purchase_weighted_sql(min_quantity: int = 0) -> str:
+    return CO_PURCHASE_WEIGHTED_SQL.format(minq=min_quantity)

@@ -37,6 +37,25 @@ def test_exact_dedup(spark, docs):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
 
 
+def test_hot_bucket_capping_star_links(spark):
+    """A bucket above the cap must emit a star on the bucket min (O(m) rows),
+    not all pairs (O(m²)); small buckets keep exact all-pairs; stats surface
+    the capping (no silent caps)."""
+    from pgs_spark.operators.dedup import capped_bucket_pairs
+
+    rows = [(0, i) for i in range(10)] + [(1, 100), (1, 101), (1, 102)]
+    items = spark.createDataFrame(rows, "bucket int, id long")
+    stats: dict = {}
+    pairs = {
+        (r["a"], r["b"])
+        for r in capped_bucket_pairs(items, ["bucket"], "id", 4, stats).collect()
+    }
+    star = {(0, i) for i in range(1, 10)}           # hot bucket 0 → star on id 0
+    allp = {(100, 101), (100, 102), (101, 102)}     # cold bucket 1 → all pairs
+    assert pairs == star | allp
+    assert stats == {"n_hot_buckets": 1, "n_rows_in_hot_buckets": 10, "max_bucket": 4}
+
+
 def test_minhash_finds_near_dups(spark, docs):
     pairs = {(r["a"], r["b"]) for r in minhash_candidates(docs).collect()}
     assert (1, 2) in pairs  # identical docs always collide in every band

@@ -54,6 +54,50 @@ def test_salted_path_matches_plain(spark):
     assert np.allclose([plain[i] for i in ids], [salted[i] for i in ids], atol=1e-12)
 
 
+def test_auto_salt_engages_on_hub_and_matches_plain(spark, monkeypatch):
+    """Degree-threshold heavy-hitter splitting must auto-engage on a hub
+    graph, flag the hub, record skew metrics in every manifest, and produce
+    ranks identical to the plain path."""
+    pairs = [(i, 0) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 100)]
+    e = edges_df(spark, pairs)
+    monkeypatch.setenv("PGS_SALT_MIN_DEGREE", "50")
+    monkeypatch.setenv("PGS_SALT_RATIO", "4")
+    salted = pagerank(spark, e, fixed_iterations=5)
+    m = salted.history[0]
+    assert m["salted"] and m["n_hot_keys"] >= 1 and m["skew_ratio_dst"] > 4
+    monkeypatch.setenv("PGS_SALT_DISABLE", "1")
+    plain = pagerank(spark, e, fixed_iterations=5)
+    assert not plain.history[0]["salted"]
+    a, b = _collect(salted), _collect(plain)
+    ids = sorted(a)
+    assert np.allclose([a[i] for i in ids], [b[i] for i in ids], atol=1e-12)
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    """weight_col with all-equal weights must reproduce the unweighted ranks
+    exactly (w/Σw == 1/outdeg)."""
+    from pyspark.sql import functions as F
+
+    pairs = random_graph(30, 0.15, seed=5, directed=True)
+    e = edges_df(spark, pairs)
+    ew = e.withColumn("weight", F.lit(2).cast("long"))
+    plain = _collect(pagerank(spark, e, fixed_iterations=8))
+    weighted = _collect(pagerank(spark, ew, fixed_iterations=8, weight_col="weight"))
+    ids = sorted(plain)
+    assert np.allclose([plain[i] for i in ids], [weighted[i] for i in ids], atol=1e-12)
+
+
+def test_weighted_pagerank_follows_heavy_edge(spark):
+    """v0 splits rank 9:1 between v1 and v2 — v1 must outrank v2."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    e = spark.createDataFrame(rows, "src long, dst long, weight long")
+    got = _collect(pagerank(spark, e, fixed_iterations=20, weight_col="weight"))
+    assert got[1] > 2 * got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 @pytest.mark.parametrize("k", [0, 1, 2])
 def test_random_graphs_fixed_iterations(spark, k):
     pairs = random_graph(30 + 7 * k, 0.12, seed=100 + k, directed=True)
