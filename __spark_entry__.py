@@ -116,6 +116,20 @@ def q_pagerank_weighted(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 6).alias("rank_r"))
 
 
+COLORING_ROUNDS = 18
+
+
+def q_coloring(spark, sf_dir):
+    """Proper graph coloring (Jones-Plassmann, deterministic md5 priorities)
+    — the PGS_Coloring flagship graft; oracle = the identical unrolled
+    fixed-round recurrence, and tests assert the adjacent-distinct invariant
+    (PGS_ColoringTests.java:57-63)."""
+    from pgs_spark.operators.coloring import jones_plassmann
+
+    e = _dense(spark, sf_dir).persist()
+    return jones_plassmann(spark, e, fixed_rounds=COLORING_ROUNDS).colors
+
+
 def q_components(spark, sf_dir):
     e = _sparse(spark, sf_dir).persist()
     return connected_components(spark, e).components
@@ -310,6 +324,21 @@ def q_stochastic_merge(spark, sf_dir):
     return stochastic_merge(spark, e, n_classes=8)
 
 
+MERGE_K = 400
+MERGE_ROUNDS = 2
+
+
+def q_merge_to_k(spark, sf_dir):
+    """AreaMerge graft (commons/AreaMerge.java:48-106): contract singleton
+    groups toward a target count by folding each non-surviving group into its
+    smallest strictly-larger neighbor; fixed rounds for the oracle."""
+    from pgs_spark.operators.contraction import merge_to_k
+
+    e = _dense(spark, sf_dir).persist()
+    res = merge_to_k(spark, e, k=MERGE_K, fixed_rounds=MERGE_ROUNDS)
+    return res.groups.groupBy("group").agg(F.count("*").alias("n_vertices"))
+
+
 def q_kcore(spark, sf_dir):
     from pgs_spark.operators.merge import kcore
 
@@ -477,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "set_ops": q_set_ops,
         "stochastic_merge": q_stochastic_merge,
+        "merge_to_k": q_merge_to_k,
         "kcore": q_kcore,
         "degree_histogram": q_degree_histogram,
         "token_stats": q_token_stats,
@@ -497,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
         "connected_components": q_components,
+        "coloring": q_coloring,
         "label_propagation": q_lpa,
         "triangle_count": q_triangles,
         "bfs_distances": q_bfs,
@@ -599,6 +630,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
         """,
         "stochastic_merge": osql.stochastic_merge_sql(dense, n_classes=8),
+        "merge_to_k": __import__(
+            "pgs_spark.operators.contraction", fromlist=["merge_to_k_sql"]
+        ).merge_to_k_sql(dense, k=MERGE_K, rounds=MERGE_ROUNDS),
         "kcore": osql.kcore_sql(dense, k=4, rounds=5),
         "degree_histogram": f"""
             WITH e AS ({dense}),
@@ -635,6 +669,9 @@ def oracle_sql() -> dict[str, str]:
             dense_w_sym, iterations=5, weighted=True
         ),
         "connected_components": osql.components_sql(sparse),
+        "coloring": __import__(
+            "pgs_spark.operators.coloring", fromlist=["coloring_sql"]
+        ).coloring_sql(dense, rounds=COLORING_ROUNDS),
         "label_propagation": osql.lpa_sql(dense, iterations=LPA_ITERS),
         "triangle_count": osql.triangle_count_sql(dense),
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),

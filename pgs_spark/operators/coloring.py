@@ -1,0 +1,202 @@
+"""Distributed proper graph coloring — Jones-Plassmann with hash priorities.
+
+Graft of the reference's flagship coloring family (PGS_Coloring.java:58-105:
+eight algorithms producing *proper* colorings — the invariant its tests assert
+is adjacent-faces-get-distinct-classes, PGS_ColoringTests.java:57-63
+``assertNotSame`` on adjacent faces). A sequential greedy ordering is
+inherently serial; the distributed classic is Jones-Plassmann (Jones &
+Plassmann, "A parallel graph coloring heuristic", 1993): give every vertex a
+random priority, and each round color every vertex whose *uncolored* neighbors
+all have lower priority, using the smallest color absent among its
+higher-priority (hence already colored) neighbors.
+
+With a STATIC priority the result is deterministic and equals the sequential
+greedy coloring in decreasing-priority order: a lower-priority neighbor can
+never be colored before you (you block it), so the colored-neighbor set at
+your turn is exactly your higher-priority neighbors. Priority here is
+(md5(id|seed), id) — cross-engine exact, so a DuckDB oracle can unroll the
+same fixed-round recurrence and must agree color-for-color.
+
+Plan per round (all joins/aggs, no UDFs):
+  blocked = uncolored⋈uncolored edges where the neighbor outranks  (2 semi-joins)
+  ready   = uncolored ∖ blocked
+  used    = ready's higher-priority neighbors ⋈ colored             (color set)
+  color   = mex(used) via sequence-explode + anti-join (integer-exact)
+Round state (colored set, ≤|V| rows) snapshots to parquet off-heap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.edges import symmetrize
+from pgs_spark.operators.state import make_work_dir, snapshot
+
+
+def _prio(id_col: Column, seed: int) -> Column:
+    return F.md5(F.concat(id_col.cast("string"), F.lit(f"|{seed}")))
+
+
+def _outranks(p_other: Column, id_other: Column, p_self: Column, id_self: Column) -> Column:
+    """(md5, id)-lexicographic priority comparison — total order, no ties."""
+    return (p_other > p_self) | ((p_other == p_self) & (id_other > id_self))
+
+
+@dataclass
+class ColoringResult:
+    colors: DataFrame  # (id: long, color: long); -1 = unresolved (fixed_rounds)
+    rounds: int
+    converged: bool
+    history: list = field(default_factory=list)
+
+
+def jones_plassmann(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    max_rounds: int = 50,
+    fixed_rounds: int | None = None,
+    seed: int = 42,
+) -> ColoringResult:
+    """Proper coloring of a canonical undirected edge table → (id, color).
+
+    `fixed_rounds` runs exactly that many rounds and returns color = -1 for
+    vertices not yet resolved (both the engine and the unrolled oracle execute
+    the identical fixed program, so they agree even if the graph needs more
+    rounds). Without it, runs to full convergence (every vertex colored).
+    """
+    work_dir = make_work_dir("pgs_color_")
+    verts = (
+        symmetrize(undirected_edges)
+        .select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", _prio(F.col("id"), seed).alias("p"))
+        .persist()
+    )
+    sym_p = (
+        symmetrize(undirected_edges)
+        .join(verts.select(F.col("id").alias("src"), F.col("p").alias("ps")), "src")
+        .join(verts.select(F.col("id").alias("dst"), F.col("p").alias("pd")), "dst")
+        .persist()
+    )
+    n = verts.count()
+    sym_p.count()
+
+    colored = spark.createDataFrame([], "id long, color long")
+    colored = snapshot(colored, work_dir, "colored_0")
+    n_colored = 0
+    history: list[dict] = []
+    limit = fixed_rounds if fixed_rounds is not None else max_rounds
+    rounds = 0
+    for r in range(1, limit + 1):
+        unc = verts.join(colored, "id", "left_anti")
+        unc_ids = unc.select("id")
+        # edges between two uncolored endpoints where dst outranks src
+        blocked = (
+            sym_p.join(unc_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(unc_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
+            .select(F.col("src").alias("id"))
+            .distinct()
+        )
+        ready = unc.join(blocked, "id", "left_anti").select("id")
+        # colors already taken among the ready vertex's higher-priority
+        # neighbors (all colored, by induction)
+        used = (
+            sym_p.join(ready.withColumnRenamed("id", "src"), "src", "left_semi")
+            .filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
+            .join(colored.select(F.col("id").alias("dst"), "color"), "dst")
+            .select(F.col("src").alias("id"), "color")
+            .distinct()
+        )
+        ucnt = used.groupBy("id").agg(F.count("*").alias("nu"))
+        # mex: n_used+1 candidates always contain the answer
+        cand = (
+            ready.join(ucnt, "id", "left")
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.lit(0), F.coalesce(F.col("nu"), F.lit(0)))
+                ).alias("c"),
+            )
+        )
+        new = (
+            cand.join(
+                used, (cand.id == used.id) & (cand.c == used.color), "left_anti"
+            )
+            .groupBy("id")
+            .agg(F.min("c").cast("long").alias("color"))
+        )
+        colored = snapshot(colored.union(new), work_dir, f"colored_{r % 2}")
+        rounds = r
+        n_colored = colored.count()
+        history.append({"round": r, "colored": n_colored})
+        if n_colored >= n and fixed_rounds is None:
+            break
+    converged = n_colored >= n
+    out = colored
+    if not converged:
+        out = verts.select("id").join(colored, "id", "left").select(
+            "id", F.coalesce("color", F.lit(-1)).alias("color")
+        )
+    verts.unpersist()
+    sym_p.unpersist()
+    return ColoringResult(out, rounds, converged, history)
+
+
+def conflict_count(undirected_edges: DataFrame, colors: DataFrame) -> int:
+    """Number of edges whose (resolved) endpoints share a color — the
+    PGS_ColoringTests invariant; must be 0."""
+    c = colors.filter(F.col("color") >= 0)
+    return (
+        undirected_edges.join(
+            c.select(F.col("id").alias("src"), F.col("color").alias("cs")), "src"
+        )
+        .join(c.select(F.col("id").alias("dst"), F.col("color").alias("cd")), "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .count()
+    )
+
+
+def coloring_sql(edges_sql: str, rounds: int, seed: int = 42) -> str:
+    """Unrolled DuckDB oracle: the identical fixed-round JP recurrence.
+    Unresolved vertices after `rounds` get color -1 (same as the engine)."""
+    prio = f"md5(CAST(id AS VARCHAR) || '|{seed}')"
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e UNION ALL SELECT dst, src FROM e)",
+        f"verts AS MATERIALIZED (SELECT id, {prio} AS p FROM (SELECT DISTINCT u AS id FROM sym) t)",
+        "symp AS MATERIALIZED (SELECT s.u, s.v, a.p AS pu, b.p AS pv FROM sym s "
+        "JOIN verts a ON s.u = a.id JOIN verts b ON s.v = b.id)",
+        "c0 AS MATERIALIZED (SELECT id, CAST(NULL AS BIGINT) AS color FROM verts WHERE FALSE)",
+    ]
+    prev = "c0"
+    outranks = "(s.pv > s.pu OR (s.pv = s.pu AND s.v > s.u))"
+    for r in range(1, rounds + 1):
+        parts += [
+            f"unc{r} AS MATERIALIZED (SELECT v.id, v.p FROM verts v "
+            f"WHERE v.id NOT IN (SELECT id FROM {prev}))",
+            f"blk{r} AS (SELECT DISTINCT s.u AS id FROM symp s "
+            f"JOIN unc{r} a ON s.u = a.id JOIN unc{r} b ON s.v = b.id WHERE {outranks})",
+            f"rdy{r} AS MATERIALIZED (SELECT id FROM unc{r} "
+            f"WHERE id NOT IN (SELECT id FROM blk{r}))",
+            f"use{r} AS MATERIALIZED (SELECT DISTINCT s.u AS id, c.color FROM symp s "
+            f"JOIN rdy{r} rd ON s.u = rd.id JOIN {prev} c ON s.v = c.id WHERE {outranks})",
+            f"ucnt{r} AS (SELECT id, COUNT(*) AS nu FROM use{r} GROUP BY id)",
+            f"cand{r} AS (SELECT rd.id, unnest(range(0, COALESCE(u.nu, 0) + 1)) AS c "
+            f"FROM rdy{r} rd LEFT JOIN ucnt{r} u ON rd.id = u.id)",
+            f"new{r} AS (SELECT cd.id, CAST(MIN(cd.c) AS BIGINT) AS color FROM cand{r} cd "
+            f"LEFT JOIN use{r} x ON x.id = cd.id AND x.color = cd.c "
+            f"WHERE x.id IS NULL GROUP BY cd.id)",
+            f"c{r} AS MATERIALIZED (SELECT id, color FROM {prev} "
+            f"UNION ALL SELECT id, color FROM new{r})",
+        ]
+        prev = f"c{r}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT v.id, COALESCE(c.color, -1) AS color FROM verts v "
+        f"LEFT JOIN {prev} c ON v.id = c.id"
+    )

@@ -1,0 +1,172 @@
+"""merge_to_k — iterative contraction toward a target group count.
+
+Graft of the reference's AreaMerge (commons/AreaMerge.java:48-106: repeatedly
+merge the smallest face-group into its smallest neighboring group until
+``targetFaceCount`` remains). The sequential rule is one merge per step; the
+distributed analog merges ALL non-surviving groups per round, each into its
+smallest strictly-larger neighbor:
+
+  round:  keep      = the k largest groups by (size, id)         (top-k, not a
+                      global sort — k is the small target count)
+          candidate = every other group
+          target(g) = argmin_(size,id) { h ∈ N(g) : (size_h,h) > (size_g,g) }
+          merge g → target(g); chains resolve by fixed pointer jumping
+                      (direction is strictly increasing in (size, id), so the
+                      merge mapping is acyclic — jumps terminate)
+
+Monotone: each round strictly reduces the group count but can never drop
+below k in one round (every candidate folds into some root that survives),
+so the loop converges to ≥ k groups; candidates with no strictly-larger
+neighbor (component maxima) survive too, the AreaMerge behavior for isolated
+islands. Deterministic: every choice is (size, id)-lexicographic, so a fixed
+(rounds, jumps) program is oracle-unrollable — see ``merge_to_k_sql``.
+
+All relational: sizes groupBy, top-k, group-graph join, per-group struct-min,
+J self-joins for pointer jumping. Round state snapshots to parquet off-heap.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.state import make_work_dir, snapshot
+
+
+@dataclass
+class MergeToKResult:
+    groups: DataFrame  # (id: long, group: long)
+    rounds: int
+    n_groups: int
+    history: list = field(default_factory=list)
+
+
+def merge_to_k(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    k: int,
+    max_rounds: int = 10,
+    fixed_rounds: int | None = None,
+    jumps: int = 3,
+) -> MergeToKResult:
+    """Contract a canonical undirected edge table to ~k vertex groups.
+
+    Starts from singleton groups (every vertex its own group — the
+    faces-as-initial-groups start of AreaMerge). `fixed_rounds` runs exactly
+    that many rounds (oracle mode); otherwise rounds run until the group
+    count reaches k or stops shrinking.
+    """
+    work_dir = make_work_dir("pgs_mergek_")
+    edges = undirected_edges.persist()
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    groups = snapshot(verts.select("id", F.col("id").alias("g")), work_dir, "g_0")
+    history: list[dict] = []
+    n_groups = groups.select("g").distinct().count()
+    rounds = 0
+    limit = fixed_rounds if fixed_rounds is not None else max_rounds
+    for r in range(1, limit + 1):
+        if fixed_rounds is None and n_groups <= k:
+            break
+        sizes = groups.groupBy("g").agg(F.count("*").alias("sz"))
+        keep = sizes.orderBy(F.col("sz").desc(), F.col("g").desc()).limit(k)
+        cand = sizes.join(keep.select("g"), "g", "left_anti")
+        # group-level adjacency, both directions, with sizes on both sides
+        ga = groups.select(F.col("id").alias("src"), F.col("g").alias("ga"))
+        gb = groups.select(F.col("id").alias("dst"), F.col("g").alias("gb"))
+        gpairs = (
+            edges.join(ga, "src")
+            .join(gb, "dst")
+            .filter(F.col("ga") != F.col("gb"))
+            .select("ga", "gb")
+        )
+        gsym = gpairs.union(
+            gpairs.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
+        ).distinct()
+        adj = (
+            gsym.join(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza")), "ga")
+            .join(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb")), "gb")
+        )
+        targets = (
+            adj.join(cand.select(F.col("g").alias("ga")), "ga", "left_semi")
+            .filter(
+                (F.col("szb") > F.col("sza"))
+                | ((F.col("szb") == F.col("sza")) & (F.col("gb") > F.col("ga")))
+            )
+            .groupBy("ga")
+            .agg(F.min(F.struct(F.col("szb"), F.col("gb"))).alias("t"))
+            .select(F.col("ga").alias("g"), F.col("t.gb").alias("tgt"))
+        )
+        # total mapping with identity default, then J pointer jumps
+        mapping = sizes.select("g").join(targets, "g", "left").select(
+            "g", F.coalesce("tgt", F.col("g")).alias("tgt")
+        )
+        for _ in range(jumps):
+            nxt = mapping.select(F.col("g").alias("tgt"), F.col("tgt").alias("tgt2"))
+            mapping = mapping.join(nxt, "tgt").select(
+                "g", F.col("tgt2").alias("tgt")
+            )
+        groups = snapshot(
+            groups.join(mapping, groups.g == mapping.g).select(
+                "id", F.col("tgt").alias("g")
+            ),
+            work_dir,
+            f"g_{r % 2}",
+        )
+        rounds = r
+        n_groups = groups.select("g").distinct().count()
+        history.append({"round": r, "n_groups": n_groups})
+    edges.unpersist()
+    return MergeToKResult(groups.select("id", F.col("g").alias("group")), rounds, n_groups, history)
+
+
+def merge_to_k_sql(edges_sql: str, k: int, rounds: int, jumps: int = 3) -> str:
+    """Unrolled DuckDB oracle: the identical fixed-round, fixed-jump program.
+    Emits per-group sizes (group, n_vertices)."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e) t)",
+        "g0 AS MATERIALIZED (SELECT id, id AS g FROM verts)",
+    ]
+    prev = "g0"
+    for r in range(1, rounds + 1):
+        parts += [
+            f"sz{r} AS MATERIALIZED (SELECT g, COUNT(*) AS sz FROM {prev} GROUP BY g)",
+            f"keep{r} AS (SELECT g FROM sz{r} ORDER BY sz DESC, g DESC LIMIT {k})",
+            f"cand{r} AS (SELECT g FROM sz{r} WHERE g NOT IN (SELECT g FROM keep{r}))",
+            f"gp{r} AS (SELECT DISTINCT a.g AS ga, b.g AS gb FROM e "
+            f"JOIN {prev} a ON e.src = a.id JOIN {prev} b ON e.dst = b.id "
+            f"WHERE a.g <> b.g)",
+            f"gs{r} AS MATERIALIZED (SELECT ga, gb FROM gp{r} "
+            f"UNION SELECT gb, ga FROM gp{r})",
+            f"adj{r} AS (SELECT s.ga, s.gb, x.sz AS sza, y.sz AS szb FROM gs{r} s "
+            f"JOIN sz{r} x ON s.ga = x.g JOIN sz{r} y ON s.gb = y.g)",
+            f"tg{r} AS MATERIALIZED (SELECT ga AS g, gb AS tgt FROM ("
+            f"SELECT ga, gb, ROW_NUMBER() OVER (PARTITION BY ga ORDER BY szb, gb) AS rn "
+            f"FROM adj{r} WHERE ga IN (SELECT g FROM cand{r}) "
+            f"AND (szb > sza OR (szb = sza AND gb > ga))) t WHERE rn = 1)",
+            f"m{r}_0 AS MATERIALIZED (SELECT s.g, COALESCE(t.tgt, s.g) AS tgt "
+            f"FROM sz{r} s LEFT JOIN tg{r} t ON s.g = t.g)",
+        ]
+        # squaring composition (map^(2^j)) — identical to the engine's loop
+        for j in range(1, jumps + 1):
+            parts.append(
+                f"m{r}_{j} AS MATERIALIZED (SELECT a.g, b.tgt FROM m{r}_{j-1} a "
+                f"JOIN m{r}_{j-1} b ON a.tgt = b.g)"
+            )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT p.id, m.tgt AS g FROM {prev} p "
+            f"JOIN m{r}_{jumps} m ON p.g = m.g)"
+        )
+        prev = f"g{r}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT g AS \"group\", COUNT(*) AS n_vertices FROM {prev} GROUP BY g"
+    )
