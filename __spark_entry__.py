@@ -209,6 +209,22 @@ def q_nearest_neighbor(spark, sf_dir):
     )
 
 
+def q_zorder_index(spark, sf_dir):
+    """Space-filling-curve locality index (hilbertSort graft,
+    PGS_PointSet.java:277-282 / PGS_Optimisation.java:1072): Morton code of
+    (p_size, ⌊p_retailprice⌋) — the expression that drives z-ordered parquet
+    layout and row-group pruning (functions/zorder.py, test_zorder)."""
+    from pgs_spark.functions.zorder import interleave_bits
+
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        interleave_bits(
+            F.col("p_size"), F.floor("p_retailprice").cast("long")
+        ).alias("z"),
+    )
+
+
 def q_complete_graph(spark, sf_dir):
     """makeCompleteGraph graft (PGS.java:439-457): all-pairs over a tiny dim."""
     r = load_table(spark, sf_dir, "region").select("r_regionkey")
@@ -293,9 +309,20 @@ def q_minhash_hot_bucket(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    from pgs_spark.operators.dedup import simhash16
+    """64-bit simhash (hex string) — 16-bit simhash saturates with collisions
+    beyond ~2^16 docs; this is the production-width key."""
+    from pgs_spark.operators.dedup import simhash64
 
-    return simhash16(load_table(spark, sf_dir, "documents"))
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_candidates(spark, sf_dir):
+    """Hamming-banded near-dup candidate pairs over simhash64 (4 bands × 16
+    bits ⇒ pairs within Hamming distance 3 always share a band), hot buckets
+    capped."""
+    from pgs_spark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(load_table(spark, sf_dir, "documents"))
 
 
 def q_ann_cosine(spark, sf_dir):
@@ -309,6 +336,40 @@ def q_lsh_buckets(spark, sf_dir):
     from pgs_spark.operators.similarity import lsh_buckets
 
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
+
+
+def _points2d(spark, sf_dir):
+    """2D points from the first two embedding dims (float32 → double widens
+    exactly, so both engines see identical coordinates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+
+
+def q_closest_pair(spark, sf_dir):
+    """closestPointPair graft (PGS_Optimisation.java:977,
+    commons/ClosestPointPair.java:48-93): grid-bucketed candidate join —
+    never all-pairs; oracle is the brute-force cross-join argmin."""
+    from pgs_spark.operators.pairs import closest_pair
+
+    return closest_pair(spark, _points2d(spark, sf_dir))
+
+
+def q_farthest_pair(spark, sf_dir):
+    """farthestPointPair graft (PGS_Optimisation.java:1054): per-partition
+    convex hulls → exact argmax over the tiny candidate union."""
+    from pgs_spark.operators.pairs import farthest_pair
+
+    return farthest_pair(spark, _points2d(spark, sf_dir))
+
+
+PAIR_POINTS_SQL = """
+    SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x,
+           CAST(embedding[2] AS DOUBLE) AS y FROM embeddings
+"""
 
 
 def q_kmeans(spark, sf_dir):
@@ -517,8 +578,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_hot_bucket": q_minhash_hot_bucket,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_buckets": q_lsh_buckets,
+        "closest_pair": q_closest_pair,
+        "farthest_pair": q_farthest_pair,
         "kmeans": q_kmeans,
         "derive_edges": q_derive_edges,
         "derive_edges_weighted": q_derive_edges_weighted,
@@ -536,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupwise_argmax_filter": q_groupwise_argmax_filter,
         "nearest_neighbor": q_nearest_neighbor,
         "complete_graph": q_complete_graph,
+        "zorder_index": q_zorder_index,
     }
 
 
@@ -647,9 +712,24 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": dsql.minhash_candidates_sql(),
         "minhash_hot_bucket": dsql.minhash_hot_bucket_sql(),
         "ngram_jaccard": dsql.ngram_jaccard_sql(),
-        "simhash": dsql.simhash_sql(),
+        "simhash": dsql.simhash_query_sql(),
+        "simhash_candidates": dsql.simhash_candidates_sql(),
         "ann_cosine_topk": dsql.ann_cosine_sql(),
         "ann_lsh_buckets": dsql.lsh_buckets_sql(),
+        "closest_pair": f"""
+            WITH p AS ({PAIR_POINTS_SQL}),
+            s AS (SELECT a.id AS a, b.id AS b,
+                         SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d
+                  FROM p a JOIN p b ON a.id < b.id)
+            SELECT a, b, ROUND(d, 6) AS dist FROM s ORDER BY d, a, b LIMIT 1
+        """,
+        "farthest_pair": f"""
+            WITH p AS ({PAIR_POINTS_SQL}),
+            s AS (SELECT a.id AS a, b.id AS b,
+                         SQRT((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d
+                  FROM p a JOIN p b ON a.id < b.id)
+            SELECT a, b, ROUND(d, 6) AS dist FROM s ORDER BY d DESC, a, b LIMIT 1
+        """,
         "kmeans": __import__(
             "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]
         ).kmeans_sql(k=4, iterations=2),
@@ -712,4 +792,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.r_regionkey AS a, b.r_regionkey AS b
             FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
         """,
+        "zorder_index": _zorder_index_sql(),
     }
+
+
+def _zorder_index_sql() -> str:
+    from pgs_spark.functions.zorder import interleave_sql
+
+    z = interleave_sql("p_size", "CAST(FLOOR(p_retailprice) AS BIGINT)")
+    return f"SELECT p_partkey, {z} AS z FROM part"

@@ -168,6 +168,54 @@ JOIN sizes nb ON nb.doc_id = p.b
 """
 
 
+def simhash64_sql(source: str = "documents") -> str:
+    """Mirror of dedup.simhash64: explode tokens → md5 → per-bit votes →
+    64 sums per doc → majority bits → 16 hex chars."""
+    digit_cols = ", ".join(
+        f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1) AS d{d}"
+        for d in range(16)
+    )
+    sum_cols = ", ".join(
+        f"SUM((d{j // 4} >> {j % 4}) & 1) AS s{j}" for j in range(64)
+    )
+    hex_digits = " || ".join(
+        "substr('0123456789abcdef', ("
+        + " + ".join(
+            f"(CASE WHEN 2*s{4 * d + r} > n THEN {1 << r} ELSE 0 END)"
+            for r in range(4)
+        )
+        + ") + 1, 1)"
+        for d in range(16)
+    )
+    return f"""tok AS MATERIALIZED (
+  SELECT doc_id AS id, md5(unnest(w)) AS h
+  FROM (SELECT doc_id, {TOKS} AS w FROM {source}) d),
+dig AS (SELECT id, {digit_cols} FROM tok),
+sh64 AS MATERIALIZED (SELECT id, {sum_cols}, COUNT(*) AS n FROM dig GROUP BY id),
+sim AS MATERIALIZED (SELECT id, {hex_digits} AS simhash FROM sh64)"""
+
+
+def simhash_query_sql() -> str:
+    return f"WITH {simhash64_sql()}\nSELECT id, simhash FROM sim"
+
+
+def simhash_candidates_sql(n_bands: int = 4, cap: int = 64) -> str:
+    """Hamming-banded near-dup candidates over simhash64 with the same
+    hot-bucket star capping as MinHash LSH."""
+    width = 16 // n_bands
+    band_values = ", ".join(f"({b})" for b in range(n_bands))
+    return f"""
+WITH {simhash64_sql()},
+bandix(band_idx) AS (VALUES {band_values}),
+bands AS MATERIALIZED (
+  SELECT id, CAST(band_idx AS INT) AS band_idx,
+         substr(simhash, band_idx*{width} + 1, {width}) AS band_hash
+  FROM sim CROSS JOIN bandix),
+{_CAPPED_PAIRS.format(cap=cap).strip()}
+SELECT a, b FROM pairs
+"""
+
+
 def simhash_sql() -> str:
     odd = "('1','3','5','7','9','b','d','f')"
     terms = " + ".join(

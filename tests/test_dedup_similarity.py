@@ -78,6 +78,20 @@ def test_simhash_identical_and_different(spark, docs):
     assert got[1] != got[4]  # different token sets → different fingerprint
 
 
+def test_simhash64_width_and_hamming(spark, docs):
+    from pgs_spark.operators.dedup import simhash64, simhash_candidates
+
+    got = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert all(len(h) == 16 and set(h) <= set("0123456789abcdef") for h in got.values())
+    assert got[1] == got[2]  # identical docs → identical 64-bit fingerprint
+    ham = lambda a, b: sum(  # noqa: E731
+        bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(a, b)
+    )
+    assert ham(got[1], got[3]) < ham(got[1], got[4])  # near-dup closer than unrelated
+    pairs = {(r["a"], r["b"]) for r in simhash_candidates(docs).collect()}
+    assert (1, 2) in pairs  # exact dups always share every band
+
+
 def test_cosine_topk_normalized(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),
