@@ -542,6 +542,77 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+INTERVAL_LEN_US = 10 * 60 * 1_000_000  # each event "occupies" 10 minutes
+INTERVAL_STRIP_US = 15 * 60 * 1_000_000
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (sweep graft, PGS_Processing.java:584-607):
+    same-user events whose 10-minute activity windows overlap, via strip
+    bucketing with count-once emission — per-user overlap counts."""
+    from pgs_spark.operators.interval import interval_overlap_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("id"),
+        us.alias("s"),
+        (us + F.lit(INTERVAL_LEN_US)).alias("e"),
+    )
+    pairs = interval_overlap_pairs(iv, INTERVAL_STRIP_US)
+    return pairs.groupBy(F.col("key").alias("user_id")).agg(
+        F.count("*").alias("n_overlaps")
+    )
+
+
+def q_grouped_prune(spark, sf_dir):
+    """simplifyDCE graft (PGS_Morphology.java:331): per order, drop the
+    smallest line items while a user termination predicate over accumulated
+    state allows (default: dropped quantity stays within 10% of the order
+    total) — the aggregating-custom-hook UDF surface (applyInPandas)."""
+    from pgs_spark.operators.udaf import budget_stop, prune_until
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return prune_until(
+        li,
+        group_col="l_orderkey",
+        order_cols=["l_quantity", "l_linenumber"],
+        value_col="l_quantity",
+        stop=budget_stop(0.1),
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_json_roundtrip(spark, sf_dir):
+    """Typed JSON round-trip (PGS_Conversion toWKT/fromWKT analog,
+    PGS_Conversion.java:1120-1200): props → from_json → to_json → from_json
+    → typed aggregation (proves lossless serialize/deserialize)."""
+    ev = load_table(spark, sf_dir, "events")
+    schema = "k INT"
+    parsed = F.from_json(F.col("props"), schema)
+    rt = F.from_json(F.to_json(parsed), schema)
+    return (
+        ev.select("event_type", rt.getField("k").alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("k").alias("n_k"))
+    )
+
+
+def q_cyclic_lead(spark, sf_dir):
+    """Cyclic successor within an ordered group (star angular ordering graft
+    — the reference iterates a vertex's neighbors cyclically by angle): each
+    user's events ordered by time, last event wraps to the first."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.coalesce(
+        F.lead("event_type").over(w), F.first("event_type").over(w)
+    )
+    return ev.select("event_id", nxt.alias("next_type"))
+
+
 def q_prune_by_bucket(spark, sf_dir):
     """prunePointsWithinDistance graft (PGS_PointSet.java:87-121): dedup rows
     by a quantized proximity key, keep the minimum id per bucket."""
@@ -558,6 +629,10 @@ def q_prune_by_bucket(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "asof_join": q_asof_join,
+        "interval_overlap": q_interval_overlap,
+        "grouped_prune": q_grouped_prune,
+        "json_roundtrip": q_json_roundtrip,
+        "cyclic_lead": q_cyclic_lead,
         "prune_by_bucket": q_prune_by_bucket,
         "sessionize": q_sessionize,
         "event_pivot": q_event_pivot,
@@ -631,6 +706,35 @@ def oracle_sql() -> dict[str, str]:
               ON c.user_id = b.user_id AND c.event_type = 'click' AND c.ts < b.ts
             WHERE b.event_type = 'purchase'
             GROUP BY b.event_id
+        """,
+        "interval_overlap": f"""
+            WITH iv AS (SELECT user_id AS key, event_id AS id, epoch_us(ts) AS s,
+                               epoch_us(ts) + {INTERVAL_LEN_US} AS e FROM events)
+            SELECT a.key AS user_id, COUNT(*) AS n_overlaps
+            FROM iv a JOIN iv b
+              ON a.key = b.key AND a.id < b.id AND a.s <= b.e AND b.s <= a.e
+            GROUP BY a.key
+        """,
+        "grouped_prune": """
+            WITH t AS (
+                SELECT l_orderkey, l_linenumber,
+                       SUM(l_quantity) OVER (PARTITION BY l_orderkey
+                                             ORDER BY l_quantity, l_linenumber
+                                             ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(l_quantity) OVER (PARTITION BY l_orderkey) AS total
+                FROM lineitem)
+            SELECT l_orderkey, l_linenumber FROM t WHERE cum > 0.1 * total
+        """,
+        "json_roundtrip": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   COUNT(json_extract_string(props, '$.k')) AS n_k
+            FROM events GROUP BY event_type
+        """,
+        "cyclic_lead": """
+            SELECT event_id,
+                   COALESCE(LEAD(event_type) OVER w, FIRST_VALUE(event_type) OVER w) AS next_type
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "prune_by_bucket": """
             SELECT c_custkey, c_nationkey, CAST(FLOOR(c_acctbal / 100.0) AS BIGINT) AS bal_bucket

@@ -110,6 +110,21 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     timed("label_propagation", lambda: label_propagation(spark, cop, max_iter=3).labels.count())
     extra["triangles"] = timed("triangle_count", lambda: triangle_count(spark, cop))
 
+    from pgs_spark.operators.coloring import jones_plassmann
+    from pgs_spark.operators.contraction import merge_to_k
+
+    # JP round count tracks the longest decreasing-priority path — on the
+    # unthresholded co-purchase graph the order-cliques push it past 40
+    # rounds, so color the thresholded graph (the CORRECTNESS gate's shape).
+    cop_sparse = canonicalize(co_purchase_edges(spark, sf_dir, 40)).persist()
+    extra["coloring_edges"] = timed("derive_copurchase_sparse", cop_sparse.count)
+    col_res = {}
+    timed("coloring_jp", lambda: col_res.setdefault(
+        "r", jones_plassmann(spark, cop_sparse, max_rounds=40)).colors.count())
+    extra["coloring_rounds"] = col_res["r"].rounds
+    extra["coloring_converged"] = col_res["r"].converged
+    timed("merge_to_k", lambda: merge_to_k(spark, cop, k=500, max_rounds=6).groups.count())
+
     cs = customer_supplier_edges(spark, sf_dir).persist()
     cs.count()
     timed(
@@ -125,8 +140,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     docs = load_table(spark, sf_dir, "documents").persist()
     docs.count()
+    lsh_stats: dict = {}
     extra["minhash_pairs"] = timed(
-        "dedup_minhash_lsh", lambda: minhash_candidates(docs).count()
+        "dedup_minhash_lsh",
+        lambda: minhash_candidates(docs, stats_out=lsh_stats).count(),
+    )
+    extra["minhash_bucket_capping"] = lsh_stats
+
+    from pgs_spark.operators.dedup import simhash_candidates
+
+    extra["simhash_pairs"] = timed(
+        "dedup_simhash64_band", lambda: simhash_candidates(docs).count()
     )
     emb = load_table(spark, sf_dir, "embeddings").persist()
     emb.count()
@@ -139,10 +163,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark.stop()
     total = round(sum(timings.values()), 3)
     scaling = {}
-    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
-    if os.path.exists(scaling_path):
-        with open(scaling_path) as f:
-            scaling = {"scaling": json.load(f)}
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for key, fname in (("scaling", "scaling.json"), ("lpa_gc", "lpa_gc.json")):
+        fpath = os.path.join(bench_dir, fname)
+        if os.path.exists(fpath):
+            with open(fpath) as f:
+                scaling[key] = json.load(f)
     return {
         "metric": "headline_total",
         "value": total,
@@ -176,6 +202,7 @@ def run_pagerank_throughput(
     secs = [h["seconds"] for h in res.history]
     steady = secs[warmup:] if len(secs) > warmup else secs
     median = statistics.median(steady)
+    m0 = res.history[0] if res.history else {}
     spark.stop()
     return {
         "cpus": cpus,
@@ -185,6 +212,9 @@ def run_pagerank_throughput(
         "median_superstep_secs": round(median, 3),
         "total_superstep_secs": round(sum(secs), 3),
         "edges_per_sec_per_superstep": round(n_edges / median, 1),
+        "salted": bool(m0.get("salted")),
+        "skew_ratio_dst": m0.get("skew_ratio_dst"),
+        "n_hot_keys": m0.get("n_hot_keys"),
     }
 
 
@@ -216,18 +246,24 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
         env["PGS_SPARK_LOCAL_DIR"] = local
     env.setdefault("PGS_SPARK_DRIVER_MEM", "32g")
 
-    results = []
-    for cpus in (n_low, n_high):
+    def worker(cpus, extra_env=None):
+        e = dict(env)
+        e.update(extra_env or {})
         out = subprocess.run(
             [sys.executable, __file__, "--throughput-worker", path, str(cpus), str(supersteps)],
             capture_output=True,
             text=True,
             check=True,
-            env=env,
+            env=e,
         )
-        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = results
+    # Zipf dst ⇒ hub in-degrees ⇒ auto-salt engages; the north rule's
+    # heavy-hitter skew splitting is exercised on the scaling runs themselves.
+    lo = worker(n_low)
+    hi = worker(n_high)
+    # skew evidence: same input, same parallelism, salted (auto) vs forced-plain
+    plain_hi = worker(n_high, {"PGS_SALT_DISABLE": "1"})
     speedup = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
     efficiency = speedup / (n_high / n_low)
     report = {
@@ -235,6 +271,15 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
         "high": hi,
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "skew_split": {
+            "salted": hi,
+            "plain": plain_hi,
+            "salted_vs_plain": round(
+                hi["edges_per_sec_per_superstep"]
+                / plain_hi["edges_per_sec_per_superstep"],
+                3,
+            ),
+        },
     }
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
@@ -263,16 +308,111 @@ on-heap localCheckpoint state caused multi-second Full-GC pauses.
 speedup {n_low}->{n_high}: **{report['speedup']}x** (ideal {n_high // n_low}x)
 scaling efficiency: **{report['scaling_efficiency']}** (target >= 0.8)
 
+## Heavy-hitter skew splitting (north rule: "salted hash join … skew splitting")
+
+The Zipf dst distribution gives the top vertex ~{hi.get('skew_ratio_dst') or 'n/a'}x
+the mean in-degree; the build pass detects it and AUTO-routes hub keys through
+the flagged two-stage salted aggregation ({hi.get('n_hot_keys')} hot keys
+flagged). Same input, same local[{n_high}], fresh JVMs:
+
+| path | salted engaged | median steady (s) | edges/sec/superstep |
+|---|---|---|---|
+| auto-salt (default) | {hi['salted']} | {hi['median_superstep_secs']} | {hi['edges_per_sec_per_superstep']:,.0f} |
+| forced plain (PGS_SALT_DISABLE=1) | {plain_hi['salted']} | {plain_hi['median_superstep_secs']} | {plain_hi['edges_per_sec_per_superstep']:,.0f} |
+
+salted/plain throughput ratio: **{report['skew_split']['salted_vs_plain']}**
+(>= 1.0 means the salted path is at least as fast where it auto-engages;
+correctness equality is asserted in tests/test_pagerank.py::test_auto_salt_engages_on_hub_and_matches_plain).
+
 Reproduce: `python bench.py --scaling`
 """
         )
     print(json.dumps(report))
 
 
+def run_lpa_gc_worker(edges_path: str, cpus: int, iters: int, gc_log: str) -> dict:
+    """LPA at scale with JVM GC logging — evidence that off-heap parquet
+    superstep state keeps Full GC out of the loop."""
+    from pgs_spark.operators.label_propagation import label_propagation
+    from pgs_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"pgs-lpa-gc-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.extraJavaOptions": f"-Xlog:gc:file={gc_log}"},
+    )
+    edges = spark.read.parquet(edges_path)
+    res = label_propagation(spark, edges, max_iter=iters)
+    out = {
+        "cpus": cpus,
+        "iterations": res.iterations,
+        "superstep_secs": [round(h["seconds"], 2) for h in res.history],
+        "n_vertices": res.labels.count(),
+    }
+    spark.stop()
+    return out
+
+
+def run_gc_evidence(n_vertices: int, n_edges: int, iters: int, cpus: int):
+    """Writes BENCH/lpa_gc.json: LPA superstep times + Full-GC count parsed
+    from the JVM's own GC log (the VERDICT round-1 item: prove the off-heap
+    LPA state fix at 20M vertices)."""
+    from pgs_spark.session import get_spark
+
+    path = f"/tmp/pgs_bench_edges_{n_vertices}_{n_edges}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        spark = get_spark(app_name="pgs-edgegen", master=f"local[{cpus}]", shuffle_partitions=cpus)
+        build_synthetic_edges(spark, n_vertices, n_edges, seed=42, path=path)
+        spark.stop()
+    gc_log = f"/tmp/pgs_lpa_gc_{cpus}.log"
+    if os.path.exists(gc_log):
+        os.remove(gc_log)
+    env = dict(os.environ)
+    if os.path.isdir("/dev/shm") and "PGS_SPARK_LOCAL_DIR" not in env:
+        local = "/dev/shm/pgs-spark-bench"
+        os.makedirs(local, exist_ok=True)
+        env["PGS_SPARK_LOCAL_DIR"] = local
+    env.setdefault("PGS_SPARK_DRIVER_MEM", "32g")
+    out = subprocess.run(
+        [sys.executable, __file__, "--lpa-gc-worker", path, str(cpus), str(iters), gc_log],
+        capture_output=True, text=True, check=True, env=env,
+    )
+    result = json.loads(out.stdout.strip().splitlines()[-1])
+    full_gcs, max_full_ms = 0, 0.0
+    if os.path.exists(gc_log):
+        for line in open(gc_log):
+            if "Pause Full" in line:
+                full_gcs += 1
+                try:
+                    max_full_ms = max(max_full_ms, float(line.rsplit(" ", 1)[-1].rstrip("ms\n")))
+                except ValueError:
+                    pass
+    result.update(
+        edges=n_edges, full_gc_count=full_gcs, max_full_gc_ms=round(max_full_ms, 1),
+        gc_log=gc_log,
+    )
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/lpa_gc.json", "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
 def main():
     args = sys.argv[1:]
     if args and args[0] == "--throughput-worker":
         print(json.dumps(run_pagerank_throughput(args[1], int(args[2]), int(args[3]))))
+        return
+    if args and args[0] == "--lpa-gc-worker":
+        print(json.dumps(run_lpa_gc_worker(args[1], int(args[2]), int(args[3]), args[4])))
+        return
+    if args and args[0] == "--gc-evidence":
+        run_gc_evidence(
+            n_vertices=int(os.environ.get("PGS_GC_VERTICES", "20000000")),
+            n_edges=int(os.environ.get("PGS_GC_EDGES", "60000000")),
+            iters=int(os.environ.get("PGS_GC_ITERS", "3")),
+            cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
         return
     if args and args[0] == "--scaling":
         run_scaling(

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +92,7 @@ def label_propagation(
     converged = False
     iterations = start_iter
     for it in range(start_iter + 1, max_iter + 1):
+        t0 = time.time()
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"), "label"
         )
@@ -115,7 +117,7 @@ def label_propagation(
         )
         labels = new_labels
         iterations = it
-        history.append({"iteration": it, "changed": changed})
+        history.append({"iteration": it, "changed": changed, "seconds": time.time() - t0})
         cp.write_manifest(it, {"iteration": it, "changed": changed})
         cp.prune(keep_last=2)
         if changed == 0:
