@@ -29,9 +29,14 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
-def build_synthetic_edges(spark, n_vertices: int, n_edges: int, seed: int, path: str):
+def build_synthetic_edges(
+    spark, n_vertices: int, n_edges: int, seed: int, path: str, skew_side: str = "dst"
+):
     """Deterministic power-law edge table written to parquet (shared input for
-    both parallelism levels). dst follows Zipf (hub skew), src uniform."""
+    both parallelism levels). The `skew_side` endpoint follows a Zipf law
+    (hub skew), the other is uniform — dst-skew stresses the gather
+    aggregation, src-skew stresses the pre-partitioned gather join (one hub's
+    edge block = one task)."""
     import math
 
     from pyspark.sql import functions as F
@@ -40,16 +45,17 @@ def build_synthetic_edges(spark, n_vertices: int, n_edges: int, seed: int, path:
         F.pmod(F.xxhash64("id", F.lit("zipf"), F.lit(seed)), F.lit(2**31)).cast("double")
         / F.lit(float(2**31))
     )
-    rank = F.least(
+    zipf = F.least(
         F.greatest(F.floor(F.exp(u * F.lit(math.log(float(n_vertices))))) - 1, F.lit(0)),
         F.lit(n_vertices - 1),
     )
+    # uniform column keeps its original "src" hash tag so the default
+    # (dst-skew) graph is bit-identical to earlier rounds' cached parquet
+    uniform = F.pmod(F.xxhash64("id", F.lit("src"), F.lit(seed)), F.lit(n_vertices))
+    src, dst = (zipf, uniform) if skew_side == "src" else (uniform, zipf)
     df = (
         spark.range(0, n_edges)
-        .select(
-            F.pmod(F.xxhash64("id", F.lit("src"), F.lit(seed)), F.lit(n_vertices)).alias("src"),
-            rank.alias("dst"),
-        )
+        .select(src.alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
     df.write.mode("overwrite").parquet(path)
@@ -213,8 +219,11 @@ def run_pagerank_throughput(
         "total_superstep_secs": round(sum(secs), 3),
         "edges_per_sec_per_superstep": round(n_edges / median, 1),
         "salted": bool(m0.get("salted")),
+        "salted_join": bool(m0.get("salted_join")),
         "skew_ratio_dst": m0.get("skew_ratio_dst"),
+        "skew_ratio_src": m0.get("skew_ratio_src"),
         "n_hot_keys": m0.get("n_hot_keys"),
+        "n_hot_src": m0.get("n_hot_src"),
     }
 
 
@@ -258,12 +267,40 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    # Zipf dst ⇒ hub in-degrees ⇒ auto-salt engages; the north rule's
-    # heavy-hitter skew splitting is exercised on the scaling runs themselves.
     lo = worker(n_low)
     hi = worker(n_high)
-    # skew evidence: same input, same parallelism, salted (auto) vs forced-plain
-    plain_hi = worker(n_high, {"PGS_SALT_DISABLE": "1"})
+
+    # Skew-splitting evidence on a SRC-skewed graph: the hub's edge block is
+    # pinned to one task of the pre-partitioned gather join — the skew that
+    # map-side partial aggregation CANNOT absorb — so the salted hash join
+    # auto-engages and must beat the forced-plain run. (The dst-skewed graph
+    # above does not engage join salting: its hubs are absorbed by partial
+    # agg; a measured 0.81× throughput for two-stage agg salting there is why
+    # PGS_SALT_AGG is opt-in — see pagerank.py docstring.)
+    skew_vertices = int(os.environ.get("PGS_SKEW_VERTICES", str(max(n_vertices // 200, 1000))))
+    skew_path = f"/tmp/pgs_bench_srcskew_{skew_vertices}_{n_edges}"
+    if not os.path.exists(skew_path + "/_SUCCESS"):
+        from pgs_spark.session import get_spark
+
+        spark = get_spark(
+            app_name="pgs-edgegen-skew", master=f"local[{n_high}]", shuffle_partitions=n_high * 2
+        )
+        build_synthetic_edges(spark, skew_vertices, n_edges, seed=42, path=skew_path, skew_side="src")
+        spark.stop()
+    nonlocal_path = skew_path
+
+    def skew_worker(extra_env=None):
+        e = dict(env)
+        e.update(extra_env or {})
+        out = subprocess.run(
+            [sys.executable, __file__, "--throughput-worker", nonlocal_path, str(n_high), str(supersteps)],
+            capture_output=True, text=True, check=True, env=e,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    salted_sk = skew_worker()
+    plain_sk = skew_worker({"PGS_SALT_DISABLE": "1"})
+
     speedup = hi["edges_per_sec_per_superstep"] / lo["edges_per_sec_per_superstep"]
     efficiency = speedup / (n_high / n_low)
     report = {
@@ -272,11 +309,12 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "skew_split": {
-            "salted": hi,
-            "plain": plain_hi,
+            "graph": {"skew_side": "src", "vertices": skew_vertices, "edges": n_edges},
+            "salted": salted_sk,
+            "plain": plain_sk,
             "salted_vs_plain": round(
-                hi["edges_per_sec_per_superstep"]
-                / plain_hi["edges_per_sec_per_superstep"],
+                salted_sk["edges_per_sec_per_superstep"]
+                / plain_sk["edges_per_sec_per_superstep"],
                 3,
             ),
         },
@@ -310,19 +348,32 @@ scaling efficiency: **{report['scaling_efficiency']}** (target >= 0.8)
 
 ## Heavy-hitter skew splitting (north rule: "salted hash join … skew splitting")
 
-The Zipf dst distribution gives the top vertex ~{hi.get('skew_ratio_dst') or 'n/a'}x
-the mean in-degree; the build pass detects it and AUTO-routes hub keys through
-the flagged two-stage salted aggregation ({hi.get('n_hot_keys')} hot keys
-flagged). Same input, same local[{n_high}], fresh JVMs:
+Skew that matters is JOIN-side: the gather's edge table is pre-partitioned on
+src, so a hub OUT-degree pins that vertex's whole edge block to one task — a
+per-superstep straggler that no downstream operator can rebalance. On a
+src-skewed Zipf graph ({skew_vertices:,} vertices, {salted_sk['edges']:,}
+edges, top hub out-degree ~{salted_sk.get('skew_ratio_src') or 'n/a'}x the
+mean), the build pass auto-flags {salted_sk.get('n_hot_src')} hot src keys,
+salts their partitioning by hash(dst), and explodes just their rank rows
+x{min(n_high, 32)} in the per-superstep join. Same input, same
+local[{n_high}], fresh JVMs:
 
-| path | salted engaged | median steady (s) | edges/sec/superstep |
+| path | salted join engaged | median steady (s) | edges/sec/superstep |
 |---|---|---|---|
-| auto-salt (default) | {hi['salted']} | {hi['median_superstep_secs']} | {hi['edges_per_sec_per_superstep']:,.0f} |
-| forced plain (PGS_SALT_DISABLE=1) | {plain_hi['salted']} | {plain_hi['median_superstep_secs']} | {plain_hi['edges_per_sec_per_superstep']:,.0f} |
+| auto (default) | {salted_sk['salted']} | {salted_sk['median_superstep_secs']} | {salted_sk['edges_per_sec_per_superstep']:,.0f} |
+| forced plain (PGS_SALT_DISABLE=1) | {plain_sk['salted']} | {plain_sk['median_superstep_secs']} | {plain_sk['edges_per_sec_per_superstep']:,.0f} |
 
 salted/plain throughput ratio: **{report['skew_split']['salted_vs_plain']}**
-(>= 1.0 means the salted path is at least as fast where it auto-engages;
-correctness equality is asserted in tests/test_pagerank.py::test_auto_salt_engages_on_hub_and_matches_plain).
+(correctness equality asserted in
+tests/test_pagerank.py::test_auto_join_salting_on_src_hub_matches_plain).
+
+AGGREGATION-side skew (hub IN-degree, the dst-Zipf scaling graph above:
+skew_ratio_dst ~{hi.get('skew_ratio_dst')}x) deliberately does NOT engage
+salting by default: Spark's map-side partial aggregation already compresses a
+hub dst key to at most one partial row per task, and we MEASURED the flagged
+two-stage salted sum at 0.81x plain throughput on this graph (the second
+|V|-row exchange is pure overhead). It remains available via PGS_SALT_AGG=1
+for aggregations partial-agg cannot combine. Measurement over assumption.
 
 Reproduce: `python bench.py --scaling`
 """

@@ -23,8 +23,6 @@ carries iteration + changed-count; input fingerprint guards cross-input reuse).
 
 from __future__ import annotations
 
-import os
-import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -69,9 +67,9 @@ def label_propagation(
 
     durable = checkpoint_dir is not None
     if not durable:
-        checkpoint_dir = tempfile.mkdtemp(
-            prefix="pgs_lpa_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
-        )
+        from pgs_spark.operators.state import make_work_dir
+
+        checkpoint_dir = make_work_dir("pgs_lpa_")
     cp = CheckpointManager(
         spark, checkpoint_dir, fingerprint_edges(undirected_edges) if durable else ""
     )

@@ -26,7 +26,6 @@ iteration is cheap and gives both flat lineage and mid-convergence resume.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 from dataclasses import dataclass, field
 
@@ -70,14 +69,30 @@ def pagerank(
     (PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933; weighted dual
     graph PGS_Triangulation.java:636-650).
 
-    Heavy-hitter skew splitting AUTO-ENGAGES: the build pass measures
-    in-degree skew; when the hub in-degree crosses both an absolute floor
-    (PGS_SALT_MIN_DEGREE, default 100k rows into one key's aggregation) and a
-    relative ratio (PGS_SALT_RATIO × mean, default 16), hub dst keys are
-    flagged on the persisted edge table and the gather aggregation routes
-    them through a two-stage salted sum (skew.salted_sum_flagged — cold keys
-    keep the plain plan bit-for-bit). Explicit ``salt_buckets`` forces the
-    legacy all-keys salted path; PGS_SALT_DISABLE=1 forces plain.
+    Heavy-hitter skew splitting AUTO-ENGAGES on the side where skew actually
+    hurts — the GATHER JOIN. The persisted edge table is hash-partitioned on
+    src, so a hub *out*-degree (one vertex fanning its rank to millions of
+    edges) lands that vertex's entire edge block in ONE task: a per-superstep
+    straggler nothing downstream can rebalance. When the build pass finds
+    out-degree crossing both an absolute floor (PGS_SALT_MIN_DEGREE, default
+    100k) and a relative ratio (PGS_SALT_RATIO × mean, default 16), hot src
+    keys get a dst-derived salt baked into the persisted partitioning
+    (src, _salt) and the per-superstep rank vector is exploded ×buckets for
+    just those keys — the literal "salted hash join … heavy-hitter skew
+    splitting" of the north rule, splitting each hub block across `buckets`
+    tasks. Arithmetic is untouched (same contribution rows, same plain
+    aggregation), so results are bit-identical to the plain path.
+
+    Hub *in*-degree (many edges pointing AT one vertex) is measured and
+    recorded in every manifest (`skew_ratio_dst`) but does NOT trigger agg
+    salting by default: Spark's map-side partial aggregation already
+    compresses a hub dst to ≤1 partial row per task, and BENCH/BASELINE.md
+    records the measurement — a flagged two-stage salted sum on a Zipf graph
+    with in-degree skew 594543× ran at 0.81× plain throughput (the extra
+    |V|-row exchange is pure overhead). PGS_SALT_AGG=1 opts it in for
+    aggregations where partial agg can't combine. Explicit ``salt_buckets``
+    forces the legacy all-keys salted sum; PGS_SALT_DISABLE=1 forces plain
+    everywhere.
     """
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -112,15 +127,34 @@ def pagerank(
     avg_indeg = float(istats["avg"] or 1.0)
     skew_ratio_dst = round(max_indeg / avg_indeg, 2) if avg_indeg else 1.0
 
+    # Out-degree skew (hub src = straggler edge block in the pre-partitioned
+    # join; the side salting actually fixes). outdeg counts EDGES per src even
+    # in weighted mode — block size, not mass, is what skews a task.
+    ostats = edges.groupBy("src").agg(F.count("*").alias("od")).agg(
+        F.max("od").alias("mx"), F.avg("od").alias("avg")
+    ).first()
+    max_outdeg = int(ostats["mx"] or 0)
+    avg_outdeg = float(ostats["avg"] or 1.0)
+    skew_ratio_src = round(max_outdeg / avg_outdeg, 2) if avg_outdeg else 1.0
+
     salt_min_degree = int(os.environ.get("PGS_SALT_MIN_DEGREE", "100000"))
     salt_ratio = float(os.environ.get("PGS_SALT_RATIO", "16"))
-    auto_salt = (
+    disable = bool(os.environ.get("PGS_SALT_DISABLE"))
+    auto_salt_join = (
         salt_buckets is None
-        and not os.environ.get("PGS_SALT_DISABLE")
+        and not disable
+        and max_outdeg >= salt_min_degree
+        and max_outdeg >= salt_ratio * avg_outdeg
+    )
+    auto_salt_agg = (
+        salt_buckets is None
+        and not disable
+        and bool(os.environ.get("PGS_SALT_AGG"))
         and max_indeg >= salt_min_degree
         and max_indeg >= salt_ratio * avg_indeg
     )
     n_hot_keys = 0
+    n_hot_src = 0
     auto_buckets = min(num_partitions, 32)
 
     # per-edge contribution weight: 1/outdeg (unweighted) or w/Σw (weighted);
@@ -132,16 +166,38 @@ def pagerank(
         else (F.lit(1.0) / F.col("outdeg"))
     )
     w_edges = edges.join(outdeg, "src").select("src", "dst", contrib_w.alias("w"))
-    if auto_salt:
-        # bake the heavy-dst flag into the persisted edge table — zero
-        # per-superstep cost (the hot set is hub keys: tiny, broadcastable).
-        hot_thresh = max(float(salt_min_degree), salt_ratio * avg_indeg)
-        heavy = indeg.filter(F.col("indeg") >= hot_thresh).select("dst")
-        n_hot_keys = heavy.count()
-        w_edges = w_edges.join(
-            F.broadcast(heavy.withColumn("hot", F.lit(True))), "dst", "left"
-        ).select("src", "dst", "w", F.coalesce("hot", F.lit(False)).alias("hot"))
-    w_edges = w_edges.repartition(num_partitions, "src").persist()
+    heavy_src = None
+    if auto_salt_join:
+        hot_thresh = max(float(salt_min_degree), salt_ratio * avg_outdeg)
+        heavy_src = (
+            edges.groupBy("src").agg(F.count("*").alias("od"))
+            .filter(F.col("od") >= hot_thresh)
+            .select(F.col("src").alias("id"))
+            .persist()
+        )
+        n_hot_src = heavy_src.count()
+        hot_flag = F.broadcast(heavy_src.select(F.col("id").alias("src"), F.lit(True).alias("hs")))
+        # dst-derived salt spreads a hub's edge block across `buckets` tasks;
+        # deterministic (content-derived, never rand()).
+        w_edges = w_edges.join(hot_flag, "src", "left").select(
+            "src",
+            "dst",
+            "w",
+            F.when(
+                F.col("hs"), F.pmod(F.xxhash64("dst"), F.lit(auto_buckets))
+            ).otherwise(F.lit(0)).cast("int").alias("_salt"),
+        )
+        w_edges = w_edges.repartition(num_partitions, "src", "_salt").persist()
+    else:
+        if auto_salt_agg:
+            # flag hub dst keys for the opt-in two-stage salted aggregation
+            hot_thresh = max(float(salt_min_degree), salt_ratio * avg_indeg)
+            heavy = indeg.filter(F.col("indeg") >= hot_thresh).select("dst")
+            n_hot_keys = heavy.count()
+            w_edges = w_edges.join(
+                F.broadcast(heavy.withColumn("hot", F.lit(True))), "dst", "left"
+            ).select("src", "dst", "w", F.coalesce("hot", F.lit(False)).alias("hot"))
+        w_edges = w_edges.repartition(num_partitions, "src").persist()
     w_edges.count()  # materialize before the loop
 
     # Superstep state ALWAYS snapshots to parquet: |V| rows is cheap, lineage
@@ -156,10 +212,9 @@ def pagerank(
     durable = checkpoint_dir is not None
     tmp_dir = None
     if not durable:
-        tmp_dir = tempfile.mkdtemp(
-            prefix="pgs_pr_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
-        )
-        checkpoint_dir = tmp_dir
+        from pgs_spark.operators.state import make_work_dir
+
+        checkpoint_dir = tmp_dir = make_work_dir("pgs_pr_")
     cp = CheckpointManager(spark, checkpoint_dir, fingerprint_edges(edges))
     if durable:
         resumed = cp.resume_point()
@@ -171,6 +226,8 @@ def pagerank(
             if m.get("delta", 1.0) < tol and fixed_iterations is None:
                 vstate.unpersist()  # early return must not leak cached state
                 w_edges.unpersist()
+                if heavy_src is not None:
+                    heavy_src.unpersist()
                 return PageRankResult(ranks.select("id", "rank"), start_iter, True, history)
     if ranks is None:
         ranks = vstate.select("id", F.lit(1.0 / n).alias("rank"))
@@ -189,14 +246,35 @@ def pagerank(
         # scaling, Amdahl — or a sort-merge join that re-sorts the edges every
         # superstep.)
         out_cols = ["dst", (F.col("rank") * F.col("w")).alias("contrib")] + (
-            ["hot"] if auto_salt else []
+            ["hot"] if auto_salt_agg else []
         )
-        contribs = w_edges.join(
-            ranks.select("id", "rank").hint("shuffle_hash"), w_edges.src == F.col("id")
-        ).select(*out_cols)
+        if auto_salt_join:
+            # SALTED HASH JOIN: hub src keys need their rank at every salt in
+            # [0, buckets); cold keys only at salt 0. The replicated side is
+            # |hot| × buckets rows — tiny (hot sets are hubs by definition).
+            base = ranks.select("id", "rank")
+            hot_ranks = base.join(heavy_src, "id", "left_semi").select(
+                "id",
+                "rank",
+                F.explode(
+                    F.sequence(F.lit(1).cast("int"), F.lit(auto_buckets - 1).cast("int"))
+                ).alias("_salt"),
+            )
+            ranks_side = base.select(
+                "id", "rank", F.lit(0).cast("int").alias("_salt")
+            ).unionByName(hot_ranks)
+            contribs = w_edges.join(
+                ranks_side.hint("shuffle_hash"),
+                (w_edges.src == ranks_side.id) & (w_edges._salt == ranks_side._salt),
+            ).select(*out_cols)
+        else:
+            contribs = w_edges.join(
+                ranks.select("id", "rank").hint("shuffle_hash"),
+                w_edges.src == F.col("id"),
+            ).select(*out_cols)
         if salt_buckets:
             gathered = skew.salted_sum(contribs, "dst", "contrib", salt_buckets)
-        elif auto_salt:
+        elif auto_salt_agg:
             gathered = skew.salted_sum_flagged(
                 contribs, "dst", "contrib", auto_buckets, "hot"
             )
@@ -237,8 +315,11 @@ def pagerank(
             "dangling_mass": d_mass,
             "seconds": time.time() - t0,
             "skew_ratio_dst": skew_ratio_dst,
-            "salted": bool(salt_buckets or auto_salt),
+            "skew_ratio_src": skew_ratio_src,
+            "salted": bool(salt_buckets or auto_salt_agg or auto_salt_join),
+            "salted_join": auto_salt_join,
             "n_hot_keys": n_hot_keys,
+            "n_hot_src": n_hot_src,
         }
         if collect_skew_metrics:
             metrics["skew_ratio_dst_live"] = skew.skew_ratio(contribs, "dst")
@@ -255,6 +336,8 @@ def pagerank(
 
     vstate.unpersist()
     w_edges.unpersist()
+    if heavy_src is not None:
+        heavy_src.unpersist()
     if fixed_iterations is not None:
         converged = True
     # NOTE: with an ephemeral temp dir the returned DataFrame reads from that

@@ -16,7 +16,9 @@ immutable snapshot swap.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
@@ -24,10 +26,15 @@ from pyspark.sql import DataFrame
 
 def make_work_dir(prefix: str) -> str:
     """Ephemeral snapshot dir — honors PGS_SPARK_LOCAL_DIR (tmpfs in bench
-    runs, per-executor local disk on a cluster)."""
-    return tempfile.mkdtemp(
+    runs, per-executor local disk on a cluster). The operator's returned
+    DataFrame reads from the final snapshot, so the dir must outlive the
+    call; it is reclaimed at interpreter exit rather than leaked across
+    long-lived sessions."""
+    d = tempfile.mkdtemp(
         prefix=prefix, dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
     )
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def snapshot(df: DataFrame, work_dir: str, name: str) -> DataFrame:

@@ -54,21 +54,41 @@ def test_salted_path_matches_plain(spark):
     assert np.allclose([plain[i] for i in ids], [salted[i] for i in ids], atol=1e-12)
 
 
-def test_auto_salt_engages_on_hub_and_matches_plain(spark, monkeypatch):
-    """Degree-threshold heavy-hitter splitting must auto-engage on a hub
-    graph, flag the hub, record skew metrics in every manifest, and produce
-    ranks identical to the plain path."""
-    pairs = [(i, 0) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 100)]
+def test_auto_join_salting_on_src_hub_matches_plain(spark, monkeypatch):
+    """A hub OUT-degree (one vertex's edge block = one straggler task) must
+    auto-engage the salted gather join, record skew metrics in every
+    manifest, and produce ranks identical to the plain path."""
+    pairs = [(0, i) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 100)]
     e = edges_df(spark, pairs)
     monkeypatch.setenv("PGS_SALT_MIN_DEGREE", "50")
     monkeypatch.setenv("PGS_SALT_RATIO", "4")
     salted = pagerank(spark, e, fixed_iterations=5)
     m = salted.history[0]
-    assert m["salted"] and m["n_hot_keys"] >= 1 and m["skew_ratio_dst"] > 4
+    assert m["salted"] and m["salted_join"]
+    assert m["n_hot_src"] >= 1 and m["skew_ratio_src"] > 4
     monkeypatch.setenv("PGS_SALT_DISABLE", "1")
     plain = pagerank(spark, e, fixed_iterations=5)
     assert not plain.history[0]["salted"]
     a, b = _collect(salted), _collect(plain)
+    ids = sorted(a)
+    assert np.allclose([a[i] for i in ids], [b[i] for i in ids], atol=1e-12)
+
+
+def test_optin_agg_salting_on_dst_hub_matches_plain(spark, monkeypatch):
+    """The two-stage salted aggregation is opt-in (PGS_SALT_AGG) — map-side
+    partial agg already absorbs dst hubs, see BENCH — but when engaged it
+    must flag the hub and match plain exactly."""
+    pairs = [(i, 0) for i in range(1, 200)] + [(i, i + 1) for i in range(1, 100)]
+    e = edges_df(spark, pairs)
+    monkeypatch.setenv("PGS_SALT_MIN_DEGREE", "50")
+    monkeypatch.setenv("PGS_SALT_RATIO", "4")
+    baseline = pagerank(spark, e, fixed_iterations=5)
+    assert not baseline.history[0]["salted"]  # dst hub alone must NOT engage
+    monkeypatch.setenv("PGS_SALT_AGG", "1")
+    salted = pagerank(spark, e, fixed_iterations=5)
+    m = salted.history[0]
+    assert m["salted"] and not m["salted_join"] and m["n_hot_keys"] >= 1
+    a, b = _collect(salted), _collect(baseline)
     ids = sorted(a)
     assert np.allclose([a[i] for i in ids], [b[i] for i in ids], atol=1e-12)
 
