@@ -378,6 +378,60 @@ def q_kmeans(spark, sf_dir):
     return kmeans_assign(load_table(spark, sf_dir, "embeddings"), k=4, iterations=2)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: k-means coarse quantizer → search only the query's
+    cluster → exact cosine re-rank within it. The scale path for ANN when
+    hyperplane-LSH recall is too blunt: candidates shrink |V|/k per query and
+    the re-ranker is the same codegen dot product as the brute-force baseline."""
+    from pgs_spark.operators.kmeans import kmeans_assign
+    from pgs_spark.operators.similarity import dot
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    asg = kmeans_assign(emb, k=4, iterations=2)
+    base = emb.join(asg, "vec_id")
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cluster"
+    )
+    b = base.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), "cluster"
+    )
+    scored = (
+        b.join(F.broadcast(q), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def q_lpa_weighted(spark, sf_dir):
+    """Weighted LPA: the neighbor vote is the co-occurrence-weight sum
+    instead of the neighbor count (weighted graphs, PGS_Conversion.java:933)."""
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE).persist()
+    return label_propagation(spark, we, max_iter=LPA_ITERS, weight_col="weight").labels
+
+
+STREAM_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_stream_windows(spark, sf_dir):
+    """Structured Streaming: readStream over the events parquet → 1h
+    watermark → 10-minute tumbling-window counts → availableNow drain to a
+    memory sink. Deterministic on static input, so the oracle is plain
+    floor-bucketing — the full streaming topology, oracle-checked."""
+    from pgs_spark.streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
 def q_stochastic_merge(spark, sf_dir):
     from pgs_spark.operators.merge import stochastic_merge
 
@@ -659,6 +713,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_pair": q_closest_pair,
         "farthest_pair": q_farthest_pair,
         "kmeans": q_kmeans,
+        "ann_ivf": q_ann_ivf,
+        "lpa_weighted": q_lpa_weighted,
+        "stream_windows": q_stream_windows,
         "derive_edges": q_derive_edges,
         "derive_edges_weighted": q_derive_edges_weighted,
         "degrees": q_degrees,
@@ -837,6 +894,14 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": __import__(
             "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]
         ).kmeans_sql(k=4, iterations=2),
+        "ann_ivf": _ann_ivf_sql(),
+        "lpa_weighted": osql.lpa_sql(dense_w, iterations=LPA_ITERS, weighted=True),
+        "stream_windows": f"""
+            SELECT CAST(FLOOR(epoch_us(ts) / {STREAM_WINDOW_US}) AS BIGINT)
+                       * {STREAM_WINDOW_US} AS window_start_us,
+                   event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
         "derive_edges": dense,
         "derive_edges_weighted": dense_w,
         "degrees": osql.degrees_sql(dense),
@@ -898,6 +963,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_index": _zorder_index_sql(),
     }
+
+
+def _ann_ivf_sql(k: int = 4, iterations: int = 2, n_queries: int = 10, topk: int = 3) -> str:
+    from pgs_spark.operators.kmeans import kmeans_ctes
+
+    parts, assign = kmeans_ctes(k, iterations)
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+asg AS (SELECT vec_id, cluster FROM {assign}),
+q AS (SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, a.cluster
+      FROM embeddings e JOIN asg a USING (vec_id) WHERE e.vec_id < {n_queries}),
+b AS (SELECT e.vec_id AS neighbor_id, e.embedding::DOUBLE[] AS nv, a.cluster
+      FROM embeddings e JOIN asg a USING (vec_id)),
+scored AS (
+  SELECT q.query_id, b.neighbor_id, ROUND(list_dot_product(qv, nv), 6) AS sim
+  FROM b JOIN q ON q.cluster = b.cluster AND q.query_id <> b.neighbor_id)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+  FROM scored) t
+WHERE rnk <= {topk}
+"""
 
 
 def _zorder_index_sql() -> str:

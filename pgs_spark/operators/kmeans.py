@@ -76,8 +76,9 @@ def kmeans_assign(
     return out
 
 
-def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
-    """DuckDB oracle mirroring kmeans_assign structurally."""
+def kmeans_ctes(k: int = 4, iterations: int = 2) -> tuple[list[str], str]:
+    """(CTE definitions, final-assignment CTE name) — shared by kmeans_sql
+    and downstream oracles that build on the clustering (IVF ANN)."""
     parts = [
         "dims AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, "
         "unnest(embedding::DOUBLE[]) AS val FROM embeddings)",
@@ -104,4 +105,10 @@ def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
         )
         prev_cent = f"cent{it}"
         assign = f"a{it}"
+    return parts, assign
+
+
+def kmeans_sql(k: int = 4, iterations: int = 2) -> str:
+    """DuckDB oracle mirroring kmeans_assign structurally."""
+    parts, assign = kmeans_ctes(k, iterations)
     return "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster FROM {assign}"

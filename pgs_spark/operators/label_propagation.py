@@ -48,14 +48,27 @@ def label_propagation(
     seed: int | None = None,
     n_initial_labels: int | None = None,
     checkpoint_dir: str | None = None,
+    weight_col: str | None = None,
 ) -> LPAResult:
     """LPA over a canonical undirected edge table.
 
     Default init: label = vertex id (community detection). With `seed` and
     `n_initial_labels`: seeded random labels in [0, n) — the stochasticMerge
     configuration (nClasses + seed, PGS_Meshing.java:693-700).
+
+    ``weight_col`` switches the vote from neighbor COUNT to neighbor weight
+    SUM (the reference's weighted graphs, PGS_Conversion.java:933) — same
+    deterministic tie-break (max vote, then min label). Integer weights keep
+    the vote exact cross-engine.
     """
-    sym = symmetrize(undirected_edges).persist()
+    if weight_col:
+        sym = undirected_edges.select("src", "dst", weight_col).union(
+            undirected_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), weight_col
+            )
+        ).persist()
+    else:
+        sym = symmetrize(undirected_edges).persist()
     verts = sym.select(F.col("src").alias("id")).distinct()
     if seed is not None and n_initial_labels:
         labels = verts.select(
@@ -92,9 +105,12 @@ def label_propagation(
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
         nbr = sym.join(labels, sym.dst == labels.id).select(
-            F.col("src").alias("id"), "label"
+            F.col("src").alias("id"),
+            "label",
+            *([weight_col] if weight_col else []),
         )
-        counts = nbr.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+        vote = F.sum(weight_col) if weight_col else F.count("*")
+        counts = nbr.groupBy("id", "label").agg(vote.alias("cnt"))
         # argmax by (cnt, -label): most frequent, ties to the smallest label.
         best = (
             counts.groupBy("id")

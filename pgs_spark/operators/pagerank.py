@@ -131,20 +131,28 @@ def pagerank(
     # join; the side salting actually fixes). outdeg counts EDGES per src even
     # in weighted mode — block size, not mass, is what skews a task.
     ostats = edges.groupBy("src").agg(F.count("*").alias("od")).agg(
-        F.max("od").alias("mx"), F.avg("od").alias("avg")
+        F.max("od").alias("mx"), F.avg("od").alias("avg"), F.sum("od").alias("tot")
     ).first()
     max_outdeg = int(ostats["mx"] or 0)
     avg_outdeg = float(ostats["avg"] or 1.0)
+    n_edges_total = int(ostats["tot"] or 0)
     skew_ratio_src = round(max_outdeg / avg_outdeg, 2) if avg_outdeg else 1.0
 
     salt_min_degree = int(os.environ.get("PGS_SALT_MIN_DEGREE", "100000"))
     salt_ratio = float(os.environ.get("PGS_SALT_RATIO", "16"))
     disable = bool(os.environ.get("PGS_SALT_DISABLE"))
+    # A hub block is a straggler only when it clearly exceeds one partition's
+    # worth of join work (measured 1.4-2.4x wins once the hub's partition is
+    # ~3x the average in the one-wave regime; a wash when extra scheduling
+    # waves absorb it — BENCH/BASELINE.md series); below 1.5 shares salting
+    # is pure overhead.
+    partition_share = n_edges_total / max(num_partitions, 1)
     auto_salt_join = (
         salt_buckets is None
         and not disable
         and max_outdeg >= salt_min_degree
         and max_outdeg >= salt_ratio * avg_outdeg
+        and max_outdeg >= 1.5 * partition_share
     )
     auto_salt_agg = (
         salt_buckets is None

@@ -75,18 +75,29 @@ def pagerank_sql(
     )
 
 
-def lpa_sql(edges_sql: str, iterations: int = 3) -> str:
+def lpa_sql(edges_sql: str, iterations: int = 3, weighted: bool = False) -> str:
     """Unrolled synchronous LPA, tie-break (max count, then min label) —
-    byte-identical semantics to operators/label_propagation.py."""
+    byte-identical semantics to operators/label_propagation.py. With
+    ``weighted`` the edges CTE must yield (src, dst, weight) and the vote is
+    SUM(weight) instead of COUNT(*)."""
+    if weighted:
+        sym = (
+            "SELECT src AS u, dst AS v, weight FROM e "
+            "UNION ALL SELECT dst, src, weight FROM e"
+        )
+        vote = "SUM(s.weight)"
+    else:
+        sym = sym_cte()
+        vote = "COUNT(*)"
     parts = [
         f"e AS MATERIALIZED ({edges_sql})",
-        f"sym AS MATERIALIZED ({sym_cte()})",
+        f"sym AS MATERIALIZED ({sym})",
         "l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM sym)",
     ]
     prev = "l0"
     for i in range(1, iterations + 1):
         parts.append(
-            f"c{i} AS MATERIALIZED (SELECT s.u AS id, l.label, COUNT(*) AS cnt FROM sym s "
+            f"c{i} AS MATERIALIZED (SELECT s.u AS id, l.label, {vote} AS cnt FROM sym s "
             f"JOIN {prev} l ON s.v = l.id GROUP BY s.u, l.label)"
         )
         parts.append(

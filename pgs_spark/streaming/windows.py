@@ -1,0 +1,71 @@
+"""Structured Streaming windowed aggregation over the events table.
+
+The reference has no streaming surface (SURVEY §2.10); the engine adds the
+standard Spark shape: ``readStream`` over the same parquet the batch queries
+use → event-time watermark → tumbling-window aggregate → ``availableNow``
+trigger draining to an in-memory sink. ``availableNow`` processes exactly the
+data present at start and terminates — which makes the streaming pipeline
+DETERMINISTIC on static input and therefore oracle-checkable: a tumbling
+window is floor-bucketing on event time, so DuckDB reproduces it with integer
+arithmetic (no late rows exist to drop, so the watermark does not change the
+result — it exercises the state-eviction plumbing only).
+
+At scale this same topology runs unbounded (file/Kafka source, sliding
+trigger); state per window×type is tiny and evicted by the watermark.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_parquet: str,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Run the streaming pipeline to completion (availableNow) and return the
+    finished result as a batch DataFrame (window_start_us, event_type, n)."""
+    import os
+
+    batch_schema = spark.read.parquet(events_parquet).schema
+    # the streaming file source requires a DIRECTORY; the testdata tables are
+    # single files, so stream the parent dir filtered to this table's file(s)
+    if os.path.isdir(events_parquet):
+        reader = spark.readStream.schema(batch_schema)
+        src = events_parquet
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", os.path.basename(events_parquet)
+        )
+        src = os.path.dirname(events_parquet)
+    stream = (
+        reader.parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -72,3 +72,28 @@ def test_cli_components_roundtrip(spark, tmp_path, capsys):
     main(["components", "--edges", edges_path, "--out", out_path])
     got = {r["id"]: r["component"] for r in spark.read.parquet(out_path).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20}
+
+
+def test_streaming_window_counts_match_batch(spark):
+    """The availableNow streaming pipeline must equal the batch floor-bucket
+    aggregation on the same static parquet (determinism = oracle-checkable)."""
+    from pyspark.sql import functions as F
+
+    from pgs_spark.streaming.windows import windowed_event_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = {
+        (r["window_start_us"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(spark, path).collect()
+    }
+    win = 10 * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(
+            (F.floor(us / win) * win).alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    want = {(r["w"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want and len(got) > 10
