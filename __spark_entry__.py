@@ -145,6 +145,33 @@ def q_triangles(spark, sf_dir):
     return triangles(spark, e).agg(F.count("*").alias("n_triangles"))
 
 
+def q_triangles_per_vertex(spark, sf_dir):
+    """Per-vertex triangle membership (TriangleCollector credited per corner,
+    PGS_Meshing.java:118-129): every corner of every triangle counted once."""
+    from pgs_spark.operators.triangles import triangle_counts_per_vertex
+
+    return triangle_counts_per_vertex(spark, _dense(spark, sf_dir))
+
+
+def q_brand_graph(spark, sf_dir):
+    """toCentroidDualGraph graft (attribute-rekeyed graph): contract the
+    part-level co-purchase graph to its brand level — vertices become brands,
+    parallel edges collapse to a weight (the centroid-rekeying the reference
+    applies when faces aggregate to centroids)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    e = _dense(spark, sf_dir)
+    b = (
+        e.join(part.select(F.col("p_partkey").alias("src"), F.col("p_brand").alias("bs")), "src")
+        .join(part.select(F.col("p_partkey").alias("dst"), F.col("p_brand").alias("bd")), "dst")
+        .filter(F.col("bs") != F.col("bd"))
+        .select(
+            F.least("bs", "bd").alias("brand_a"),
+            F.greatest("bs", "bd").alias("brand_b"),
+        )
+    )
+    return b.groupBy("brand_a", "brand_b").agg(F.count("*").alias("weight"))
+
+
 def q_bfs(spark, sf_dir):
     e = _dense(spark, sf_dir).persist()
     source = e.agg(F.min(F.least("src", "dst"))).first()[0]
@@ -726,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coloring": q_coloring,
         "label_propagation": q_lpa,
         "triangle_count": q_triangles,
+        "triangles_per_vertex": q_triangles_per_vertex,
+        "brand_graph": q_brand_graph,
         "bfs_distances": q_bfs,
         "pricing_agg": q_pricing_agg,
         "topk_per_group": q_topk_per_group,
@@ -923,6 +952,28 @@ def oracle_sql() -> dict[str, str]:
         ).coloring_sql(dense, rounds=COLORING_ROUNDS),
         "label_propagation": osql.lpa_sql(dense, iterations=LPA_ITERS),
         "triangle_count": osql.triangle_count_sql(dense),
+        "triangles_per_vertex": f"""
+            WITH e AS MATERIALIZED ({dense}),
+            t AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                  FROM e e1
+                  JOIN e e2 ON e2.src = e1.dst
+                  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+            corners AS (SELECT x AS id FROM t
+                        UNION ALL SELECT y FROM t
+                        UNION ALL SELECT z FROM t)
+            SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id
+        """,
+        "brand_graph": f"""
+            WITH e AS MATERIALIZED ({dense}),
+            b AS (SELECT LEAST(ps.p_brand, pd.p_brand) AS brand_a,
+                         GREATEST(ps.p_brand, pd.p_brand) AS brand_b
+                  FROM e
+                  JOIN part ps ON e.src = ps.p_partkey
+                  JOIN part pd ON e.dst = pd.p_partkey
+                  WHERE ps.p_brand <> pd.p_brand)
+            SELECT brand_a, brand_b, COUNT(*) AS weight
+            FROM b GROUP BY brand_a, brand_b
+        """,
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,

@@ -65,6 +65,33 @@ def test_asof_join_is_window_not_join(spark):
     assert "Join" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Edge table bucketed on src + vertex table bucketed on id ⇒ the join
+    plans with ZERO Exchange on either side (shuffle paid once at write)."""
+    from pgs_spark.plans.explain import plan_string
+    from pgs_spark.sources.bucketing import bucketed_join, write_bucketed
+
+    edges = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    verts = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "rank", F.lit(0.1)
+    )
+    write_bucketed(edges, "t_edges_b", "src", 8)
+    write_bucketed(verts, "t_verts_b", "id", 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(spark, "t_edges_b", "t_verts_b", "src", "id")
+        plan = plan_string(j)
+        assert "Exchange" not in plan
+        assert j.count() == edges.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
+        spark.sql("DROP TABLE IF EXISTS t_verts_b")
+
+
 def test_codegen_covers_agg_pipeline(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
