@@ -398,6 +398,49 @@ PAIR_POINTS_SQL = """
            CAST(embedding[2] AS DOUBLE) AS y FROM embeddings
 """
 
+GEO_RADIUS = 0.02
+
+
+def q_gabriel_edges(spark, sf_dir):
+    """Gabriel graph edges (PGS_Meshing.gabrielFaces, PGS_Meshing.java:175-224):
+    distance-bounded candidate pairs whose diameter circle holds no third
+    point — grid-pruned witnesses, never all-pairs; oracle is exhaustive."""
+    from pgs_spark.operators.geometric import gabriel_edges
+
+    return gabriel_edges(_points2d(spark, sf_dir), GEO_RADIUS)
+
+
+def q_rng_edges(spark, sf_dir):
+    """Relative-neighborhood edges (PGS_Meshing.relativeNeighborFaces,
+    PGS_Meshing.java:231-282): empty-lune test over the same candidate set."""
+    from pgs_spark.operators.geometric import rng_edges
+
+    return rng_edges(_points2d(spark, sf_dir), GEO_RADIUS)
+
+
+def _geo_sql(kind: str, r: float = GEO_RADIUS) -> str:
+    if kind == "gabriel":
+        witness = """
+            (w.x - (c.xa + c.xb) / 2.0) * (w.x - (c.xa + c.xb) / 2.0)
+          + (w.y - (c.ya + c.yb) / 2.0) * (w.y - (c.ya + c.yb) / 2.0)
+          < ((c.xa - c.xb) * (c.xa - c.xb) + (c.ya - c.yb) * (c.ya - c.yb)) / 4.0"""
+    else:
+        witness = """
+            (w.x - c.xa) * (w.x - c.xa) + (w.y - c.ya) * (w.y - c.ya)
+              < (c.xa - c.xb) * (c.xa - c.xb) + (c.ya - c.yb) * (c.ya - c.yb)
+        AND (w.x - c.xb) * (w.x - c.xb) + (w.y - c.yb) * (w.y - c.yb)
+              < (c.xa - c.xb) * (c.xa - c.xb) + (c.ya - c.yb) * (c.ya - c.yb)"""
+    return f"""
+        WITH p AS ({PAIR_POINTS_SQL}),
+        cand AS (
+            SELECT a.id AS a, a.x AS xa, a.y AS ya, b.id AS b, b.x AS xb, b.y AS yb
+            FROM p a JOIN p b ON a.id < b.id
+            AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) < {r * r!r})
+        SELECT c.a, c.b FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p w WHERE w.id <> c.a AND w.id <> c.b AND ({witness}))
+    """
+
 
 def q_kmeans(spark, sf_dir):
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -447,6 +490,18 @@ def q_lpa_weighted(spark, sf_dir):
 
 
 STREAM_WINDOW_US = 10 * 60 * 1_000_000
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Custom STATEFUL streaming operator (applyInPandasWithState): per-user
+    sessionization with state-store session counters, availableNow drain —
+    checked against the exact same oracle as the batch sessionize query, so
+    the streaming and batch paths must agree user-for-user."""
+    from pgs_spark.streaming.stateful import streaming_sessionize
+
+    return streaming_sessionize(
+        spark, f"{sf_dir}/events.parquet", gap_us=SESSION_GAP_US
+    )
 
 
 def q_stream_windows(spark, sf_dir):
@@ -739,10 +794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_lsh_buckets,
         "closest_pair": q_closest_pair,
         "farthest_pair": q_farthest_pair,
+        "gabriel_edges": q_gabriel_edges,
+        "rng_edges": q_rng_edges,
         "kmeans": q_kmeans,
         "ann_ivf": q_ann_ivf,
         "lpa_weighted": q_lpa_weighted,
         "stream_windows": q_stream_windows,
+        "stream_sessionize": q_stream_sessionize,
         "derive_edges": q_derive_edges,
         "derive_edges_weighted": q_derive_edges_weighted,
         "degrees": q_degrees,
@@ -784,7 +842,7 @@ def oracle_sql() -> dict[str, str]:
         f"COALESCE(COUNT(*) FILTER (WHERE event_type = '{t}'), 0) AS n_{t}"
         for t in EVENT_TYPES
     )
-    return {
+    oracles = {
         "asof_join": """
             SELECT b.event_id, MAX(epoch_us(c.ts)) AS last_click_us
             FROM events b
@@ -920,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM p a JOIN p b ON a.id < b.id)
             SELECT a, b, ROUND(d, 6) AS dist FROM s ORDER BY d DESC, a, b LIMIT 1
         """,
+        "gabriel_edges": _geo_sql("gabriel"),
+        "rng_edges": _geo_sql("rng"),
         "kmeans": __import__(
             "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]
         ).kmeans_sql(k=4, iterations=2),
@@ -1014,6 +1074,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_index": _zorder_index_sql(),
     }
+    # the stateful-streaming sessionizer must agree with the batch oracle
+    oracles["stream_sessionize"] = oracles["sessionize"]
+    return oracles
 
 
 def _ann_ivf_sql(k: int = 4, iterations: int = 2, n_queries: int = 10, topk: int = 3) -> str:

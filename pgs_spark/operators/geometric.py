@@ -1,0 +1,129 @@
+"""Proximity-graph edge filters — Gabriel and relative-neighborhood graphs.
+
+Grafts of the reference's triangulation-derived proximity filters:
+- Gabriel filter (PGS_Meshing.java:175-224 `gabrielFaces`): keep edge (a,b)
+  iff no third point lies strictly inside the circle with diameter ab.
+- Relative-neighborhood filter (PGS_Meshing.java:231-282 `relativeNeighborFaces`):
+  keep (a,b) iff no c is strictly closer to BOTH endpoints than they are to
+  each other (the lune test).
+
+The reference filters edges of a Delaunay triangulation; a distributed engine
+gets the same result from a distance-bounded candidate edge set (every
+Gabriel/RNG edge on non-degenerate points is shorter than any threshold that
+keeps the graph connected — here the caller picks the radius). Shapes:
+
+  candidate edges: grid-bucketed 3x3 self-join, pair emitted once in the cell
+                   of the lexicographically smaller endpoint's probe (the
+                   closest_pair machinery) — never all-pairs.
+  witness check:   edges x points grid join on the MIDPOINT's cell at half
+                   the cell size (any witness lies within |ab|/2 <= radius/2
+                   of the midpoint, so a 3x3 probe at cell=radius/2 covers
+                   it), exact strict-inequality predicate inside, anti-join.
+
+All double arithmetic is structurally mirrored by the DuckDB oracles
+(__spark_entry__), so the filters are value-exact cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _d2(xa, ya, xb, yb):
+    return (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+
+
+def neighbor_pairs(points: DataFrame, radius: float) -> DataFrame:
+    """All pairs (a < b) with dist < radius: grid cells of side `radius`,
+    3x3 probe, strict predicate. Output (a, xa, ya, b, xb, yb)."""
+    r = float(radius)
+    cells = points.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = cells.select(
+        F.col("id").alias("a"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+            for dx, dy in offs
+        ])).alias("c"),
+    ).select("a", "xa", "ya", "c.cx", "c.cy")
+    return (
+        probe.join(
+            cells.select(
+                F.col("id").alias("b"), F.col("x").alias("xb"),
+                F.col("y").alias("yb"), "cx", "cy",
+            ),
+            ["cx", "cy"],
+        )
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (_d2(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")) < F.lit(r * r))
+        )
+        .select("a", "xa", "ya", "b", "xb", "yb")
+        .distinct()
+    )
+
+
+def _witnessed(edges: DataFrame, points: DataFrame, radius: float, inside) -> DataFrame:
+    """Edges having at least one witness point c (c ∉ {a,b}) satisfying
+    `inside(cx, cy, edge-cols)` — candidate witnesses found via a 3x3 grid
+    probe around the edge midpoint at cell = radius/2."""
+    h = float(radius) / 2.0
+    e = edges.select(
+        "*",
+        ((F.col("xa") + F.col("xb")) / 2.0).alias("mx"),
+        ((F.col("ya") + F.col("yb")) / 2.0).alias("my"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    eprobe = e.select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                (F.floor(F.col("mx") / h) + dx).alias("gx"),
+                (F.floor(F.col("my") / h) + dy).alias("gy"),
+            )
+            for dx, dy in offs
+        ])).alias("g"),
+    ).select("a", "b", "xa", "ya", "xb", "yb", "mx", "my", "g.gx", "g.gy")
+    pts = points.select(
+        F.col("id").alias("c"), F.col("x").alias("cx"), F.col("y").alias("cy"),
+        F.floor(F.col("x") / h).alias("gx"), F.floor(F.col("y") / h).alias("gy"),
+    )
+    return (
+        eprobe.join(pts, ["gx", "gy"])
+        .filter((F.col("c") != F.col("a")) & (F.col("c") != F.col("b")))
+        .filter(inside)
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def gabriel_edges(points: DataFrame, radius: float) -> DataFrame:
+    """(a, b): pairs closer than `radius` whose diameter circle is empty."""
+    cand = neighbor_pairs(points, radius).persist()
+    inside = _d2(F.col("cx"), F.col("cy"), F.col("mx"), F.col("my")) < (
+        _d2(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb")) / F.lit(4.0)
+    )
+    bad = _witnessed(cand, points, radius, inside)
+    return cand.join(bad, ["a", "b"], "left_anti").select("a", "b")
+
+
+def rng_edges(points: DataFrame, radius: float) -> DataFrame:
+    """(a, b): pairs closer than `radius` with an empty lune — no c strictly
+    closer to both endpoints than dist(a,b). A lune witness satisfies the
+    median identity dist(c,m)² = (dist(c,a)² + dist(c,b)²)/2 − |ab|²/4
+    < 0.75·|ab|², so it lies within (√3/2)·|ab| < 0.866·radius of the
+    midpoint — covered exactly by a 3x3 probe at cell = radius (hence the
+    2·radius argument to the shared witness machinery)."""
+    cand = neighbor_pairs(points, radius).persist()
+    dab2 = _d2(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"))
+    inside = (
+        (_d2(F.col("cx"), F.col("cy"), F.col("xa"), F.col("ya")) < dab2)
+        & (_d2(F.col("cx"), F.col("cy"), F.col("xb"), F.col("yb")) < dab2)
+    )
+    bad = _witnessed(cand, points, 2.0 * radius, inside)
+    return cand.join(bad, ["a", "b"], "left_anti").select("a", "b")
