@@ -737,6 +737,19 @@ def q_json_roundtrip(spark, sf_dir):
     )
 
 
+def q_binary_roundtrip(spark, sf_dir):
+    """Binary (WKB-analog) round-trip (PGS_Conversion toWKB/fromWKB,
+    PGS_Conversion.java:1145-1160): text → binary → base64 → decode →
+    content hash — proves lossless binary encode/decode plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    rt = F.unbase64(F.base64(F.col("text").cast("binary")))
+    return docs.select(
+        "doc_id",
+        F.sha2(rt, 256).alias("rt_sha"),
+        F.length(rt).cast("long").alias("n_bytes"),
+    )
+
+
 def q_cyclic_lead(spark, sf_dir):
     """Cyclic successor within an ordered group (star angular ordering graft
     — the reference iterates a vertex's neighbors cyclically by angle): each
@@ -768,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "grouped_prune": q_grouped_prune,
         "json_roundtrip": q_json_roundtrip,
+        "binary_roundtrip": q_binary_roundtrip,
         "cyclic_lead": q_cyclic_lead,
         "prune_by_bucket": q_prune_by_bucket,
         "sessionize": q_sessionize,
@@ -874,6 +888,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    COUNT(json_extract_string(props, '$.k')) AS n_k
             FROM events GROUP BY event_type
+        """,
+        "binary_roundtrip": """
+            SELECT doc_id,
+                   sha256(CAST(from_base64(to_base64(CAST(text AS BLOB))) AS VARCHAR)) AS rt_sha,
+                   CAST(octet_length(from_base64(to_base64(CAST(text AS BLOB)))) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "cyclic_lead": """
             SELECT event_id,
