@@ -63,6 +63,7 @@ def cmd_pagerank(args) -> None:
         max_iter=args.max_iter,
         checkpoint_dir=args.checkpoint_dir,
         salt_buckets=args.salt_buckets,
+        weight_col=args.weight_col,
     )
     res.ranks.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"iterations": res.iterations, "converged": res.converged,
@@ -88,6 +89,30 @@ def cmd_lpa(args) -> None:
                             n_initial_labels=args.classes)
     res.labels.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
+
+
+def cmd_coloring(args) -> None:
+    from pgs_spark.operators.coloring import conflict_count, jones_plassmann
+    from pgs_spark.operators.edges import canonicalize
+
+    spark = _spark("pgs-coloring")
+    und = canonicalize(spark.read.parquet(args.edges))
+    res = jones_plassmann(spark, und, max_rounds=args.max_rounds)
+    res.colors.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rounds": res.rounds, "converged": res.converged,
+                      "conflicts": conflict_count(und, res.colors)}))
+
+
+def cmd_merge_to_k(args) -> None:
+    from pgs_spark.operators.contraction import merge_to_k
+    from pgs_spark.operators.edges import canonicalize
+
+    spark = _spark("pgs-merge-to-k")
+    und = canonicalize(spark.read.parquet(args.edges))
+    res = merge_to_k(spark, und, k=args.k, max_rounds=args.max_rounds)
+    res.groups.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"rounds": res.rounds, "n_groups": res.n_groups,
+                      "history": res.history}))
 
 
 def cmd_triangles(args) -> None:
@@ -123,6 +148,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--max-iter", type=int, default=100)
     pr.add_argument("--checkpoint-dir")
     pr.add_argument("--salt-buckets", type=int)
+    pr.add_argument("--weight-col", help="edge weight column (weighted PageRank)")
     pr.set_defaults(fn=cmd_pagerank)
 
     cc = sub.add_parser("components")
@@ -141,6 +167,19 @@ def build_parser() -> argparse.ArgumentParser:
     tr = sub.add_parser("triangles")
     tr.add_argument("--edges", required=True)
     tr.set_defaults(fn=cmd_triangles)
+
+    co = sub.add_parser("coloring", help="Jones-Plassmann proper coloring")
+    co.add_argument("--edges", required=True)
+    co.add_argument("--out", required=True)
+    co.add_argument("--max-rounds", type=int, default=50)
+    co.set_defaults(fn=cmd_coloring)
+
+    mk = sub.add_parser("merge-to-k", help="AreaMerge-style contraction")
+    mk.add_argument("--edges", required=True)
+    mk.add_argument("--out", required=True)
+    mk.add_argument("--k", type=int, required=True)
+    mk.add_argument("--max-rounds", type=int, default=10)
+    mk.set_defaults(fn=cmd_merge_to_k)
     return p
 
 
