@@ -131,10 +131,15 @@ def jones_plassmann(
         )
         colored = snapshot(colored.union(new), work_dir, f"colored_{r % 2}")
         rounds = r
+        if fixed_rounds is None:
+            # convergence test costs one count per round — skipped entirely in
+            # fixed-round (oracle) mode, where the round count is the program
+            n_colored = colored.count()
+            history.append({"round": r, "colored": n_colored})
+            if n_colored >= n:
+                break
+    if fixed_rounds is not None:
         n_colored = colored.count()
-        history.append({"round": r, "colored": n_colored})
-        if n_colored >= n and fixed_rounds is None:
-            break
     converged = n_colored >= n
     out = colored
     if not converged:

@@ -119,8 +119,13 @@ def merge_to_k(
             f"g_{r % 2}",
         )
         rounds = r
+        if fixed_rounds is None:
+            # stop test costs one distinct-count per round — skipped in
+            # fixed-round (oracle) mode
+            n_groups = groups.select("g").distinct().count()
+            history.append({"round": r, "n_groups": n_groups})
+    if fixed_rounds is not None:
         n_groups = groups.select("g").distinct().count()
-        history.append({"round": r, "n_groups": n_groups})
     edges.unpersist()
     return MergeToKResult(groups.select("id", F.col("g").alias("group")), rounds, n_groups, history)
 
