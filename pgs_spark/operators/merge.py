@@ -105,12 +105,14 @@ def kcore(
     spark: SparkSession,
     undirected_edges: DataFrame,
     k: int = 2,
-    rounds: int = 5,
+    rounds: int | None = 5,
 ) -> DataFrame:
     """Iterative degree-< k peeling — the dangle-removal loop of
     FastPolygonizer (commons/FastPolygonizer.java:70-80 prunes degree-1
     vertices until none remain). Fixed `rounds` keeps it oracle-unrollable;
-    rounds=None-style full convergence is just a larger bound.
+    ``rounds=None`` peels to the true k-core fixed point (edge-count
+    convergence test, one cheap action per round — the FastPolygonizer
+    until-none-remain semantics).
 
     Per-round edge state snapshots to parquet (off-heap, alternating two
     paths) — the same GC fix PageRank/CC got; localCheckpoint pinned every
@@ -121,7 +123,10 @@ def kcore(
 
     work_dir = make_work_dir("pgs_kcore_")
     e = undirected_edges
-    for r in range(rounds):
+    converge = rounds is None
+    limit = 10_000 if converge else rounds  # |E| shrinks every live round
+    prev_n = e.count() if converge else None
+    for r in range(limit):
         deg = (
             symmetrize(e).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
         )
@@ -133,4 +138,9 @@ def kcore(
             work_dir,
             f"edges_{r % 2}",
         )
+        if converge:
+            n = e.count()
+            if n == prev_n:
+                break
+            prev_n = n
     return e

@@ -67,3 +67,14 @@ def test_multimodal_schema(spark):
     assert dict(media.dtypes)["payload"] == "binary"
     feats = extract_features(media)
     assert dict(feats.dtypes)["feature"] == "array<double>"
+
+
+def test_kcore_convergence_mode(spark):
+    """rounds=None peels to the exact k-core fixed point: a long tail hanging
+    off a clique vanishes entirely, the clique survives intact, regardless of
+    tail length (which a fixed round count would have to guess)."""
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    tail = [(3, 10), (10, 11), (11, 12), (12, 13), (13, 14), (14, 15), (15, 16)]
+    e = canonicalize(edges_df(spark, clique + tail))
+    survived = {(r["src"], r["dst"]) for r in kcore(spark, e, k=2, rounds=None).collect()}
+    assert survived == set(clique)  # whole 7-hop tail peeled, clique intact

@@ -97,3 +97,33 @@ def test_streaming_window_counts_match_batch(spark):
     )
     want = {(r["w"], r["event_type"]): r["n"] for r in batch.collect()}
     assert got == want and len(got) > 10
+
+
+def test_cli_coloring_and_merge_to_k_jobs(spark, tmp_path):
+    """The spark-submit job surface for the round-2 operators: run both CLI
+    commands in subprocesses against a small edge parquet and check their
+    JSON reports + parquet outputs."""
+    import subprocess
+    import sys
+
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)] + [(0, 15), (3, 27)],
+        "src long, dst long",
+    )
+    edges = str(tmp_path / "edges")
+    e.write.mode("overwrite").parquet(edges)
+
+    def run(cmd):
+        r = subprocess.run(
+            [sys.executable, "-m", "pgs_spark.cli"] + cmd,
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        return json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+
+    col = run(["coloring", "--edges", edges, "--out", str(tmp_path / "colors")])
+    assert col["converged"] and col["conflicts"] == 0
+    assert spark.read.parquet(str(tmp_path / "colors")).count() == 30
+
+    mk = run(["merge-to-k", "--edges", edges, "--out", str(tmp_path / "groups"), "--k", "3"])
+    assert mk["n_groups"] == 3
+    assert spark.read.parquet(str(tmp_path / "groups")).count() == 30
