@@ -102,8 +102,11 @@ def label_propagation(
     history: list[dict] = []
     converged = False
     iterations = start_iter
+    from pgs_spark.session import shuffle_bytes
+
     for it in range(start_iter + 1, max_iter + 1):
         t0 = time.time()
+        sb0 = shuffle_bytes(spark)
         nbr = sym.join(labels, sym.dst == labels.id).select(
             F.col("src").alias("id"),
             "label",
@@ -131,8 +134,16 @@ def label_propagation(
         )
         labels = new_labels
         iterations = it
-        history.append({"iteration": it, "changed": changed, "seconds": time.time() - t0})
-        cp.write_manifest(it, {"iteration": it, "changed": changed})
+        sb1 = shuffle_bytes(spark)
+        m = {
+            "iteration": it,
+            "changed": changed,
+            "seconds": time.time() - t0,
+            "shuffle_write_bytes": sb1[0] - sb0[0],
+            "shuffle_read_bytes": sb1[1] - sb0[1],
+        }
+        history.append(m)
+        cp.write_manifest(it, m)
         cp.prune(keep_last=2)
         if changed == 0:
             converged = True

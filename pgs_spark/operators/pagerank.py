@@ -244,8 +244,11 @@ def pagerank(
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = False
 
+    from pgs_spark.session import shuffle_bytes
+
     for it in range(start_iter, limit):
         t0 = time.time()
+        sb0 = shuffle_bytes(spark)
         # Gather join: edges are already hash-partitioned on src (built once);
         # SHUFFLE_HASH on the vertex side means only |V| rows shuffle per
         # superstep, the hash build parallelizes across tasks, and the 50M-row
@@ -317,11 +320,14 @@ def pagerank(
         )
         delta = float(stats["delta"])
         d_mass = float(stats["d_mass"] or 0.0)
+        sb1 = shuffle_bytes(spark)
         metrics = {
             "iteration": it + 1,
             "delta": delta,
             "dangling_mass": d_mass,
             "seconds": time.time() - t0,
+            "shuffle_write_bytes": sb1[0] - sb0[0],
+            "shuffle_read_bytes": sb1[1] - sb0[1],
             "skew_ratio_dst": skew_ratio_dst,
             "skew_ratio_src": skew_ratio_src,
             "salted": bool(salt_buckets or auto_salt_agg or auto_salt_join),

@@ -56,3 +56,20 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def shuffle_bytes(spark: SparkSession) -> tuple[int, int]:
+    """Cumulative (shuffle_write, shuffle_read) bytes across executors, from
+    the app status store. Iterative operators record the per-superstep DELTA
+    in their manifests — the "shuffle bytes" iteration metric of the north
+    rule. Returns (0, 0) if the store is unreachable (never fails a job)."""
+    try:
+        ex_list = spark.sparkContext._jsc.sc().statusStore().executorList(True)
+        w = r = 0
+        for i in range(ex_list.size()):
+            e = ex_list.apply(i)
+            w += e.totalShuffleWrite()
+            r += e.totalShuffleRead()
+        return int(w), int(r)
+    except Exception:
+        return 0, 0
