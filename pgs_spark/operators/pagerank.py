@@ -9,27 +9,41 @@ per-superstep convergence/error bookkeeping mirrors TangencyPack's superstep
 solver (commons/TangencyPack.java:248-296: iterate, measure residual, stop on
 tolerance with a max-pass guard).
 
-Spark plan per superstep (sparse gather-scatter):
+Spark plan per superstep (sparse gather-scatter — ONE job):
   contribs = weighted_edges ⋈ ranks on src        (hash join; edges side is
              pre-hash-partitioned on src once, so only the small ranks side
              shuffles each superstep; AQE skew-join splits hub partitions)
   gathered = contribs.groupBy(dst).sum            (map-side partial agg; an
              optional salted two-stage agg splits hub dst keys explicitly)
   ranks'   = (1-α)/N + α·(gathered + dangling_mass/N)
-  delta    = Σ|ranks' − ranks|                    (one action, fused with the
-             next iteration's dangling-mass sum — a single pass)
+  write    = ranks' (id, rank only) → parquet snapshot, with delta and the
+             next superstep's dangling mass collected by DataFrame.observe()
+             ON THE WRITE JOB itself — no second stats job, no snapshot
+             re-read, no redundant outdeg column in the snapshot.
 
 State per superstep is |V| rows — tiny relative to |E| — so checkpointing every
 iteration is cheap and gives both flat lineage and mid-convergence resume.
+
+Opt-in λ-extrapolation (``extrapolate=True``) grafts TangencyPack's
+accelerated superstep solver (commons/TangencyPack.java:248-296: snapshot two
+successive iterates, extrapolate along their difference): power-iteration
+error contracts geometrically with ratio λ ≈ delta_t/delta_{t-1}, so
+r* ≈ r_t + (r_t − r_{t-1})·λ/(1−λ). Every 3rd superstep the engine applies
+that jump (dangling mass of the jumped vector re-measured exactly via
+observe), and disables itself if the following real superstep's delta does
+not improve on the pre-jump delta. Convergence is still certified by a REAL
+superstep's residual < tol, so converged ranks agree with the plain path
+within the tolerance (allclose-tested).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pgs_spark.operators import skew
@@ -56,6 +70,7 @@ def pagerank(
     collect_skew_metrics: bool = False,
     fixed_iterations: int | None = None,
     weight_col: str | None = None,
+    extrapolate: bool = False,
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed edge table (src, dst).
 
@@ -80,8 +95,10 @@ def pagerank(
     (src, _salt) and the per-superstep rank vector is exploded ×buckets for
     just those keys — the literal "salted hash join … heavy-hitter skew
     splitting" of the north rule, splitting each hub block across `buckets`
-    tasks. Arithmetic is untouched (same contribution rows, same plain
-    aggregation), so results are bit-identical to the plain path.
+    tasks. Results are numerically equivalent to the plain path: same
+    contribution rows, same aggregation — only the float summation ORDER of
+    the dst partial sums can differ (at most last-ulp drift; the equality
+    test asserts atol=1e-12, not bit equality).
 
     Hub *in*-degree (many edges pointing AT one vertex) is measured and
     recorded in every manifest (`skew_ratio_dst`) but does NOT trigger agg
@@ -246,6 +263,11 @@ def pagerank(
 
     from pgs_spark.session import shuffle_bytes
 
+    # λ-extrapolation state (opt-in; never in fixed-iteration/oracle mode)
+    prev_delta: float | None = None
+    ext_enabled = extrapolate and fixed_iterations is None
+    ext_pending_delta: float | None = None  # pre-jump delta, for the fallback
+
     for it in range(start_iter, limit):
         t0 = time.time()
         sb0 = shuffle_bytes(spark)
@@ -291,33 +313,34 @@ def pagerank(
             )
         else:
             gathered = contribs.groupBy("dst").agg(F.sum("contrib").alias("contrib"))
-        new_ranks = (
+        # ONE job per superstep: pre-join the old ranks (co-hashed |V|-row
+        # join), attach delta + next-superstep dangling mass as observed
+        # metrics, and let the snapshot WRITE be the action that yields them.
+        # The snapshot itself carries only (id, rank) — outdeg lives in the
+        # persisted vstate, re-writing it every superstep was 1/3 wasted bytes.
+        pre = (
             vstate.join(gathered, vstate.id == gathered.dst, "left")
+            .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
             .select(
                 "id",
                 "outdeg",
+                "old_rank",
                 (
                     F.lit(teleport)
                     + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
                 ).alias("rank"),
             )
         )
-
-        # Snapshot this superstep (job 1: parquet write), then compute the
-        # fused delta + dangling-mass statistics from the re-read state
-        # (job 2) — two jobs per superstep, state off-heap.
-        new_ranks = cp.save(new_ranks, it + 1, lineage=False)
-        stats = (
-            new_ranks.select("id", "outdeg", F.col("rank").alias("new_rank"))
-            .join(ranks.select("id", F.col("rank").alias("old_rank")), "id")
-            .agg(
-                F.sum(F.abs(F.col("new_rank") - F.col("old_rank"))).alias("delta"),
-                F.sum(
-                    F.when(F.col("outdeg").isNull(), F.col("new_rank")).otherwise(0.0)
-                ).alias("d_mass"),
-            )
-            .first()
-        )
+        obs = Observation()
+        observed = pre.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("delta"),
+            F.sum(
+                F.when(F.col("outdeg").isNull(), F.col("rank")).otherwise(0.0)
+            ).alias("d_mass"),
+        ).select("id", "rank")
+        new_ranks = cp.save(observed, it + 1, lineage=False)
+        stats = obs.get  # already available — the write above was the action
         delta = float(stats["delta"])
         d_mass = float(stats["d_mass"] or 0.0)
         sb1 = shuffle_bytes(spark)
@@ -334,12 +357,64 @@ def pagerank(
             "salted_join": auto_salt_join,
             "n_hot_keys": n_hot_keys,
             "n_hot_src": n_hot_src,
+            "extrapolated": False,
         }
         if collect_skew_metrics:
             metrics["skew_ratio_dst_live"] = skew.skew_ratio(contribs, "dst")
         history.append(metrics)
         cp.write_manifest(it + 1, metrics)
+
+        # λ-extrapolation fallback: if the real superstep after a jump did not
+        # beat the pre-jump delta, the error is not yet in its geometric
+        # regime — stop jumping (plain power iteration always converges).
+        if ext_pending_delta is not None:
+            if delta >= ext_pending_delta:
+                ext_enabled = False
+            ext_pending_delta = None
+        elif (
+            ext_enabled
+            and prev_delta is not None
+            and prev_delta > 0.0
+            and delta > tol
+            and (it + 1 - start_iter) % 3 == 0
+        ):
+            lam = delta / prev_delta
+            # jump only inside the geometric regime; λ→1 would divide by ~0
+            if 0.05 < lam < 0.98:
+                factor = lam / (1.0 - lam)
+                ext_pre = (
+                    new_ranks.select("id", F.col("rank").alias("r2"))
+                    .join(ranks.select("id", F.col("rank").alias("r1")), "id")
+                    .join(vstate, "id")
+                    .select(
+                        "id",
+                        "outdeg",
+                        (
+                            F.col("r2") + (F.col("r2") - F.col("r1")) * F.lit(factor)
+                        ).alias("rank"),
+                    )
+                )
+                ext_obs = Observation()
+                ext_observed = ext_pre.observe(
+                    ext_obs,
+                    F.sum(
+                        F.when(F.col("outdeg").isNull(), F.col("rank")).otherwise(0.0)
+                    ).alias("d_mass"),
+                ).select("id", "rank")
+                plain_path = getattr(new_ranks, "_pgs_snapshot_path", None)
+                new_ranks = cp.save(ext_observed, it + 1, lineage=False, suffix="x")
+                d_mass = float(ext_obs.get["d_mass"] or 0.0)
+                if plain_path:
+                    # the plain snapshot fed the jump and its manifest was
+                    # superseded — drop it so prune() bookkeeping stays exact
+                    shutil.rmtree(plain_path, ignore_errors=True)
+                ext_pending_delta = delta
+                metrics["extrapolated"] = True
+                metrics["dangling_mass"] = d_mass  # resume must see the jumped mass
+                cp.write_manifest(it + 1, metrics, suffix="x")
+
         cp.prune(keep_last=2)
+        prev_delta = delta
         ranks = new_ranks
         iterations = it + 1
         if fixed_iterations is None and delta < tol:

@@ -41,14 +41,19 @@ class CheckpointManager:
         iteration: int,
         metrics: dict | None = None,
         lineage: bool = True,
+        suffix: str = "",
     ) -> DataFrame:
         """Persist one superstep's vertex state; returns the re-read DataFrame
-        (flat lineage). Per-partition lineage (row counts by partition) is
-        recorded in the manifest unless `lineage=False` (ephemeral
-        checkpoints skip that extra job)."""
-        path = os.path.join(self.dir, f"state_{iteration:05d}")
+        (flat lineage, with its parquet path on `_pgs_snapshot_path`).
+        Per-partition lineage (row counts by partition) is recorded in the
+        manifest unless `lineage=False` (ephemeral checkpoints skip that
+        extra job). `suffix` distinguishes a sub-step snapshot of the same
+        iteration (e.g. a λ-extrapolation jump); its manifest supersedes the
+        plain one."""
+        path = os.path.join(self.dir, f"state_{iteration:05d}{suffix}")
         state.write.mode("overwrite").parquet(path)
         reread = self.spark.read.parquet(path)
+        reread._pgs_snapshot_path = path
         part_rows = []
         if lineage:
             part_rows = [
@@ -57,15 +62,19 @@ class CheckpointManager:
                 .agg(F.count("*").alias("rows"))
                 .collect()
             ]
-        self.write_manifest(iteration, metrics, partitions=sorted(part_rows))
+        self.write_manifest(iteration, metrics, partitions=sorted(part_rows), suffix=suffix)
         return reread
 
     def write_manifest(
-        self, iteration: int, metrics: dict | None, partitions: list | None = None
+        self,
+        iteration: int,
+        metrics: dict | None,
+        partitions: list | None = None,
+        suffix: str = "",
     ) -> None:
         manifest = {
             "iteration": iteration,
-            "path": os.path.join(self.dir, f"state_{iteration:05d}"),
+            "path": os.path.join(self.dir, f"state_{iteration:05d}{suffix}"),
             "input_fingerprint": self.fingerprint,
             "wall_clock": time.time(),
             "partitions": partitions or [],

@@ -173,3 +173,50 @@ def test_checkpoint_ignores_other_input(spark, tmp_path):
     pagerank(spark, e1, fixed_iterations=3, checkpoint_dir=cp)
     res = pagerank(spark, e2, fixed_iterations=4, checkpoint_dir=cp)
     assert len(res.history) == 4  # fingerprint mismatch → fresh start
+
+
+def _barbell_pairs():
+    """Asymmetric barbell (K9 + K4 joined by one edge, both directions):
+    slow-mixing (λ ≈ 0.79 per superstep), so geometric extrapolation has a
+    dominant error mode to jump along — numpy-simulated 72 plain vs 34
+    extrapolated supersteps at tol=1e-9."""
+    pairs = []
+    for base, k in ((0, 9), (20, 4)):
+        for a in range(base, base + k):
+            for b in range(a + 1, base + k):
+                pairs += [(a, b), (b, a)]
+    return pairs + [(8, 20), (20, 8)]
+
+
+def test_extrapolation_matches_plain_and_saves_supersteps(spark):
+    """λ-extrapolated PageRank (TangencyPack.java:248-296 graft) converges to
+    the same ranks as plain power iteration (allclose 1e-6) in fewer
+    supersteps on a slow-mixing graph."""
+    e = edges_df(spark, _barbell_pairs())
+    plain = pagerank(spark, e, tol=1e-9, max_iter=200)
+    fast = pagerank(spark, e, tol=1e-9, max_iter=200, extrapolate=True)
+    assert plain.converged and fast.converged
+    gp, gf = ({r["id"]: r["rank"] for r in res.ranks.collect()} for res in (plain, fast))
+    ids = sorted(gp)
+    assert np.allclose([gp[i] for i in ids], [gf[i] for i in ids], atol=1e-6)
+    assert any(h.get("extrapolated") for h in fast.history)
+    assert fast.iterations < plain.iterations
+
+
+def test_extrapolation_resume(spark, tmp_path):
+    """Resume across a λ-extrapolation jump restores the jumped state +
+    dangling mass (manifest suffix path) and finishes identically."""
+    pairs = random_graph(60, 0.08, seed=3, directed=True)
+    e = edges_df(spark, pairs)
+    full = pagerank(spark, e, tol=1e-9, max_iter=200, extrapolate=True)
+    d = str(tmp_path / "cp")
+    partial = pagerank(
+        spark, e, tol=1e-9, max_iter=4, checkpoint_dir=d, extrapolate=True
+    )
+    assert not partial.converged
+    resumed = pagerank(
+        spark, e, tol=1e-9, max_iter=200, checkpoint_dir=d, extrapolate=True
+    )
+    gr, gf = ({r["id"]: r["rank"] for r in res.ranks.collect()} for res in (resumed, full))
+    ids = sorted(gf)
+    assert np.allclose([gf[i] for i in ids], [gr[i] for i in ids], atol=1e-6)
