@@ -26,7 +26,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pgs_spark.operators.edges import symmetrize
@@ -120,18 +120,21 @@ def label_propagation(
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("s"))
             .select("id", (-F.col("s.nl")).alias("new_label"))
         )
-        new_labels = labels.join(best, "id", "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
+        # ONE job per superstep: the changed-count is observed on the snapshot
+        # write itself (the old label is already in-row — no second job, no
+        # snapshot re-read, no extra join).
+        pre = labels.join(best, "id", "left").select(
+            "id",
+            F.col("label").alias("old_label"),
+            F.coalesce("new_label", "label").alias("label"),
         )
-        # Snapshot (job 1: parquet write, state off-heap), then the
-        # changed-count action reads the snapshot (job 2).
-        new_labels = cp.save(new_labels, it, lineage=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        obs = Observation()
+        observed = pre.observe(
+            obs,
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("changed"),
+        ).select("id", "label")
+        new_labels = cp.save(observed, it, lineage=False)
+        changed = int(obs.get["changed"] or 0)
         labels = new_labels
         iterations = it
         sb1 = shuffle_bytes(spark)
