@@ -335,6 +335,17 @@ def q_minhash_hot_bucket(spark, sf_dir):
     return minhash_candidates(docs.union(clones), max_bucket=16)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """END-TO-END near-dup resolution (the stochasticMerge composition,
+    PGS_Meshing.java:727-738, applied to LSH output): verified candidate
+    pairs ∪ exact-dup edges → connected components → keep = min doc id per
+    duplicate cluster. What a 100-TB pipeline actually consumes — a keep
+    list, not candidate pairs."""
+    from pgs_spark.operators.dedup import dedup_keep_list
+
+    return dedup_keep_list(spark, load_table(spark, sf_dir, "documents"))
+
+
 def q_simhash(spark, sf_dir):
     """64-bit simhash (hex string) — 16-bit simhash saturates with collisions
     beyond ~2^16 docs; this is the production-width key."""
@@ -802,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "minhash_hot_bucket": q_minhash_hot_bucket,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine,
@@ -980,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates": dsql.minhash_candidates_sql(),
         "minhash_hot_bucket": dsql.minhash_hot_bucket_sql(),
         "ngram_jaccard": dsql.ngram_jaccard_sql(),
+        "dedup_clusters": dsql.dedup_clusters_sql(),
         "simhash": dsql.simhash_query_sql(),
         "simhash_candidates": dsql.simhash_candidates_sql(),
         "ann_cosine_topk": dsql.ann_cosine_sql(),

@@ -207,6 +207,60 @@ def ngram_jaccard(
     return out
 
 
+def dedup_keep_list(
+    spark,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard: float = 0.8,
+    max_bucket: int = 64,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(doc_id, keep_id): END-TO-END near-dup resolution — what a pipeline
+    user actually wants ("which rows do I keep"), not candidate pairs.
+
+    The composition is the reference's stochasticMerge pipeline
+    (PGS_Meshing.java:727-738: cut edges → ``connectedSets()`` →
+    per-component aggregate) applied to dedup:
+
+      pairs   = LSH candidates verified by exact n-gram Jaccard ≥ `jaccard`
+                ∪ exact-duplicate edges (identical sha256 content)
+      cluster = connected components over the verified pair graph
+                (alternating-star — scales to any pair count)
+      keep_id = the cluster's minimum doc id (== its component id)
+
+    Docs in no cluster keep themselves. Hot LSH buckets are star-capped
+    (`max_bucket`), which is exactly CC-equivalent: the star preserves
+    connectivity inside the bucket, and Jaccard-verification then prunes
+    non-duplicate spokes the same way it prunes non-duplicate pairs.
+    """
+    from pgs_spark.operators.components import connected_components
+
+    df = df.persist()
+    cand = minhash_candidates(
+        df, id_col, text_col, max_bucket=max_bucket, stats_out=stats_out
+    )
+    verified = (
+        ngram_jaccard(df, cand, id_col, text_col)
+        .filter(F.col("jac") >= jaccard)
+        .select("a", "b")
+    )
+    exact_edges = (
+        exact_dedup(df, id_col, text_col)
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(F.col("keep_id").alias("a"), F.col(id_col).alias("b"))
+    )
+    edges = verified.union(exact_edges).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    comp = connected_components(spark, edges).components
+    all_ids = df.select(F.col(id_col).alias("id")).distinct()
+    return all_ids.join(comp, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("keep_id"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, simhash): 16-bit Charikar simhash. Bit j is set when the majority
     of tokens have an odd j-th md5 hex digit — computed entirely with

@@ -257,3 +257,40 @@ def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
     return f"""
 SELECT vec_id AS id, CAST({terms} AS INT) AS bucket FROM embeddings
 """
+
+
+def dedup_clusters_sql(
+    jaccard: float = 0.8, n_hashes: int = 8, band_size: int = 2, cap: int = 64
+) -> str:
+    """End-to-end keep-list oracle: LSH candidates → exact Jaccard filter →
+    ∪ exact sha256-duplicate edges → transitive closure (recursive CTE) →
+    min doc id per cluster. Mirrors operators/dedup.dedup_keep_list."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(n_hashes, band_size)},
+{_CAPPED_PAIRS.format(cap=cap).strip()},
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, COUNT(*) AS ni
+  FROM pairs p JOIN shd x ON x.doc_id = p.a JOIN shd y ON y.doc_id = p.b AND y.g = x.g
+  GROUP BY p.a, p.b),
+verified AS MATERIALIZED (
+  SELECT p.a, p.b FROM pairs p
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  JOIN sizes na ON na.doc_id = p.a
+  JOIN sizes nb ON nb.doc_id = p.b
+  WHERE ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+              / CAST(na.n + nb.n - COALESCE(i.ni, 0) AS DOUBLE), 6) >= {jaccard!r}),
+eh AS MATERIALIZED (SELECT doc_id, sha256(text) AS hh FROM documents),
+ekeep AS (SELECT hh, MIN(doc_id) AS keep_id FROM eh GROUP BY hh),
+exact_edges AS (
+  SELECT k.keep_id AS a, x.doc_id AS b FROM eh x JOIN ekeep k ON x.hh = k.hh
+  WHERE x.doc_id <> k.keep_id),
+pe AS MATERIALIZED (SELECT a, b FROM verified UNION ALL SELECT a, b FROM exact_edges),
+csym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM pe),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.u, reach.r FROM csym s JOIN reach ON s.v = reach.id)
+SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id
+"""

@@ -131,3 +131,14 @@ def test_lsh_deterministic_across_sessions(spark):
 
     assert hyperplanes(2, 4, seed=42) == hyperplanes(2, 4, seed=42)
     assert hyperplanes(2, 4, seed=42) != hyperplanes(2, 4, seed=43)
+
+
+def test_dedup_keep_list_end_to_end(spark, docs):
+    """Keep-list composition (stochasticMerge pipeline, PGS_Meshing.java:727-738
+    applied to dedup): exact dup 2→1, near-dup 3 clusters with 1 (Jaccard of
+    the 13-shingle docs differing in one trailing word = 12/14 ≈ 0.857 ≥ 0.8),
+    4 and 5 keep themselves."""
+    from pgs_spark.operators.dedup import dedup_keep_list
+
+    got = {r["doc_id"]: r["keep_id"] for r in dedup_keep_list(spark, docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
