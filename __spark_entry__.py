@@ -221,18 +221,23 @@ def q_groupwise_argmax_filter(spark, sf_dir):
 
 
 def q_nearest_neighbor(spark, sf_dir):
-    """1-NN lookup graft (PGS_Optimisation.closestPoint, KD-tree role →
-    broadcast join + windowed argmin)."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
-    joined = cust.crossJoin(F.broadcast(supp)).withColumn(
-        "adiff", F.abs(F.col("c_acctbal") - F.col("s_acctbal"))
+    """1-NN lookup graft (PGS_Optimisation.closestPoint, KD-tree role): for
+    each customer the supplier with the closest account balance — a BANDED
+    value-grid equi-join + min_by with doubling fallback (SURVEY §2.4's
+    grid-cell prescription), never a cross join: |C|·|S| intermediate rows
+    would be ~1.5e13 at sf100. Plan-asserted crossJoin-free in
+    tests/test_plans.py."""
+    from pgs_spark.operators.geometric import nearest_value_1d
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("val")
     )
-    w = W.partitionBy("c_custkey").orderBy(F.col("adiff"), F.col("s_suppkey"))
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("c_custkey", "s_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("val")
+    )
+    nn = nearest_value_1d(spark, cust, supp)
+    return nn.select(
+        F.col("lid").alias("c_custkey"), F.col("rid").alias("s_suppkey")
     )
 
 

@@ -112,6 +112,82 @@ def gabriel_edges(points: DataFrame, radius: float) -> DataFrame:
     return cand.join(bad, ["a", "b"], "left_anti").select("a", "b")
 
 
+def nearest_value_1d(
+    spark,
+    left: DataFrame,
+    right: DataFrame,
+    max_doublings: int = 48,
+) -> DataFrame:
+    """Exact 1-NN lookup on a 1D value (the KD-tree role of
+    PGS_Optimisation.closestPoint, PGS_Optimisation.java:873-925), as a
+    BANDED EQUI-JOIN — never a cross join.
+
+    left (id, val) × right (id, val) → (left_id, right_id): for each left row
+    the right row minimizing |lval − rval|, ties to the smallest right id.
+
+    Plan (the 1D analog of `neighbor_pairs`' grid): right rows dedupe to one
+    row per distinct value (min id — intra-value ties resolved up front);
+    cell side s = range/|right| (expected one right value per cell); each
+    left row probes cells {c−1, c, c+1} via equi-join and takes
+    min(struct(dist, rid)). A candidate at dist ≤ s is provably the global
+    argmin (anything closer shares the probe window); left rows whose best
+    candidate is farther re-run with s doubled — the closest_pair doubling
+    discipline, O(log range) driver rounds, each a pure equi-join + min_by.
+    """
+    left = left.select(F.col("id").alias("lid"), F.col("val").cast("double").alias("lv"))
+    r = (
+        right.select(F.col("val").cast("double").alias("rv"), F.col("id").alias("id"))
+        .groupBy("rv")
+        .agg(F.min("id").alias("rid"))
+        .persist()
+    )
+    stats = r.agg(
+        F.count("*").alias("n"), F.min("rv").alias("lo"), F.max("rv").alias("hi")
+    ).first()
+    nr = int(stats["n"] or 0)
+    if nr == 0:
+        r.unpersist()
+        return spark.createDataFrame([], "lid long, rid long")
+    s = max((float(stats["hi"]) - float(stats["lo"])) / nr, 1e-12)
+
+    unresolved = left.persist()
+    resolved_parts = []
+    for _ in range(max_doublings):
+        rcells = r.select("rv", "rid", F.floor(F.col("rv") / s).alias("cell"))
+        probe = unresolved.select(
+            "lid",
+            "lv",
+            F.explode(
+                F.array(*[F.floor(F.col("lv") / s) + d for d in (-1, 0, 1)])
+            ).alias("cell"),
+        )
+        best = (
+            probe.join(rcells, "cell")
+            .select(
+                "lid",
+                F.struct(F.abs(F.col("lv") - F.col("rv")).alias("d"), "rid").alias("c"),
+            )
+            .groupBy("lid")
+            .agg(F.min("c").alias("c"))
+            .select("lid", F.col("c.d").alias("d"), F.col("c.rid").alias("rid"))
+        )
+        done = best.filter(F.col("d") <= F.lit(float(s))).select("lid", "rid")
+        done = done.localCheckpoint(eager=True)
+        resolved_parts.append(done)
+        nxt = unresolved.join(done, "lid", "left_anti").persist()
+        unresolved.unpersist()
+        unresolved = nxt
+        if unresolved.isEmpty():
+            break
+        s *= 2.0
+    r.unpersist()
+    unresolved.unpersist()
+    out = resolved_parts[0]
+    for p in resolved_parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def rng_edges(points: DataFrame, radius: float) -> DataFrame:
     """(a, b): pairs closer than `radius` with an empty lune — no c strictly
     closer to both endpoints than dist(a,b). A lune witness satisfies the

@@ -96,3 +96,34 @@ def test_codegen_covers_agg_pipeline(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     q = li.groupBy("l_returnflag").agg(F.sum("l_quantity"))
     assert whole_stage_codegen_spans(q) >= 1
+
+
+def test_nearest_neighbor_has_no_cross_join(spark):
+    """The 1-NN lookup must be a banded value-grid equi-join (SURVEY §2.4),
+    never a CartesianProduct / nested-loop join — |C|·|S| rows at sf100 is
+    ~1.5e13 for a 1-row-per-customer answer."""
+    import __spark_entry__ as entry
+    from pgs_spark.plans.explain import plan_string
+
+    q = entry.q_nearest_neighbor(spark, SF)
+    plan = plan_string(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nearest_value_1d_exact(spark):
+    """Known answers incl. equidistant tie (→ min right id), duplicate right
+    values (→ min id per value), and a far-out left row (doubling path)."""
+    from pgs_spark.operators.geometric import nearest_value_1d
+
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 10.0), (3, 1000.0)], "id long, val double"
+    )
+    # right: 4.0 duplicated (ids 20, 21 → 20 wins), 6.0 ties with 4.0 for
+    # left 5.0 (|5-4|=|5-6|=1 → min id 20 wins), 11.0 nearest to 10.0,
+    # nothing near 1000.0 until the grid doubles out to it.
+    right = spark.createDataFrame(
+        [(21, 4.0), (20, 4.0), (22, 6.0), (23, 11.0)], "id long, val double"
+    )
+    got = {r["lid"]: r["rid"] for r in nearest_value_1d(spark, left, right).collect()}
+    assert got == {1: 20, 2: 23, 3: 23}
