@@ -138,7 +138,8 @@ def minhash_hot_bucket_sql(n_clones: int = 100, cap: int = 16) -> str:
     aug = f"""aug AS MATERIALIZED (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT 10000 + i AS doc_id, (SELECT text FROM documents WHERE doc_id = 0) AS text
+  SELECT 10000 + i AS doc_id,
+         (SELECT text FROM documents ORDER BY doc_id LIMIT 1) AS text
   FROM range({n_clones}) t(i))"""
     return f"""
 WITH {aug},
