@@ -17,16 +17,27 @@ your turn is exactly your higher-priority neighbors. Priority here is
 (md5(id|seed), id) — cross-engine exact, so a DuckDB oracle can unroll the
 same fixed-round recurrence and must agree color-for-color.
 
-Plan per round (all joins/aggs, no UDFs):
-  blocked = uncolored⋈uncolored edges where the neighbor outranks  (2 semi-joins)
+Plan per round (all joins/aggs, no UDFs — ONE pass over the edge table):
+  hi      = sym_p edges where the neighbor outranks, src uncolored, LEFT
+            JOINED to the colored set (neighbor color, null = uncolored)
+  blocked = hi rows with null color (both endpoints uncolored)   ← same pass
   ready   = uncolored ∖ blocked
-  used    = ready's higher-priority neighbors ⋈ colored             (color set)
+  used    = hi rows with a color                                 ← same pass
   color   = mex(used) via sequence-explode + anti-join (integer-exact)
-Round state (colored set, ≤|V| rows) snapshots to parquet off-heap.
+(used covers blocked vertices too — harmless: the mex candidate set is built
+from ready ids only, so extra rows never join; this is what lets blocked and
+used share one scan instead of three.)
+
+Round state (colored set, ≤|V| rows): localCheckpoint below
+PGS_COLOR_LOCAL_STATE_MAX vertices (default 2M — driver-loop latency
+dominates small graphs, a parquet round-trip per round tripled wall clock),
+parquet snapshots above it (on-heap round state at 20M vertices caused
+multi-second Full-GC pauses — the measured LPA lesson).
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -82,62 +93,88 @@ def jones_plassmann(
         .persist()
     )
     n = verts.count()
-    sym_p.count()
+    m = sym_p.count()
+
+    # Size the round shuffles to the DATA, not the session default: JP wall
+    # clock is rounds × per-round stage latency, and on a small graph 32-64
+    # near-empty tasks per stage are pure scheduler overhead (measured 33.6s
+    # → 28.8s at 58k edges with 8 partitions). Grows back to the session
+    # default at ~250k edges/partition — the cluster-scale setting.
+    default_p = spark.conf.get("spark.sql.shuffle.partitions")
+    round_p = max(8, min(int(default_p), m // 250_000 + 8))
+
+    use_local = n <= int(os.environ.get("PGS_COLOR_LOCAL_STATE_MAX", "2000000"))
+
+    def _snap(df: DataFrame, name: str) -> DataFrame:
+        if use_local:
+            # coalesce first: union(prev_checkpoint, new) concatenates
+            # partition lists, so uncoalesced round state grows by ~|parts|
+            # partitions per round — O(rounds²) tasks by convergence
+            return df.coalesce(round_p).localCheckpoint(eager=True)
+        return snapshot(df, work_dir, name)
 
     colored = spark.createDataFrame([], "id long, color long")
-    colored = snapshot(colored, work_dir, "colored_0")
+    colored = _snap(colored, "colored_0")
     n_colored = 0
     history: list[dict] = []
     limit = fixed_rounds if fixed_rounds is not None else max_rounds
     rounds = 0
-    for r in range(1, limit + 1):
-        unc = verts.join(colored, "id", "left_anti")
-        unc_ids = unc.select("id")
-        # edges between two uncolored endpoints where dst outranks src
-        blocked = (
-            sym_p.join(unc_ids.withColumnRenamed("id", "src"), "src", "left_semi")
-            .join(unc_ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
-            .filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
-            .select(F.col("src").alias("id"))
-            .distinct()
-        )
-        ready = unc.join(blocked, "id", "left_anti").select("id")
-        # colors already taken among the ready vertex's higher-priority
-        # neighbors (all colored, by induction)
-        used = (
-            sym_p.join(ready.withColumnRenamed("id", "src"), "src", "left_semi")
-            .filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
-            .join(colored.select(F.col("id").alias("dst"), "color"), "dst")
-            .select(F.col("src").alias("id"), "color")
-            .distinct()
-        )
-        ucnt = used.groupBy("id").agg(F.count("*").alias("nu"))
-        # mex: n_used+1 candidates always contain the answer
-        cand = (
-            ready.join(ucnt, "id", "left")
-            .select(
-                "id",
-                F.explode(
-                    F.sequence(F.lit(0), F.coalesce(F.col("nu"), F.lit(0)))
-                ).alias("c"),
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    try:
+        for r in range(1, limit + 1):
+            unc_ids = verts.select("id").join(colored, "id", "left_anti")
+            # ONE pass over sym_p: higher-priority-neighbor edges of uncolored
+            # vertices, each tagged with the neighbor's color (null = uncolored).
+            # blocked and used are two filters of this shared relation.
+            hi = (
+                sym_p.filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
+                .join(unc_ids.withColumnRenamed("id", "src"), "src", "left_semi")
+                .join(colored.select(F.col("id").alias("dst"), "color"), "dst", "left")
+                .select(F.col("src").alias("id"), "color")
+                .persist()
             )
-        )
-        new = (
-            cand.join(
-                used, (cand.id == used.id) & (cand.c == used.color), "left_anti"
+            # no distinct: blocked only ever feeds an anti-join, dupes are free
+            blocked = hi.filter(F.col("color").isNull()).select("id")
+            ready = unc_ids.join(blocked, "id", "left_anti")
+            # colors already taken among higher-priority neighbors (for ready
+            # vertices all such neighbors are colored, by induction; rows for
+            # blocked vertices are carried but never join the mex candidates).
+            # No distinct: the anti-join below ignores dupes, and the candidate
+            # bound uses countDistinct — one aggregate instead of dedup+count.
+            used = hi.filter(F.col("color").isNotNull())
+            ucnt = used.groupBy("id").agg(F.count_distinct("color").alias("nu"))
+            # mex: n_used+1 candidates always contain the answer
+            cand = (
+                ready.join(ucnt, "id", "left")
+                .select(
+                    "id",
+                    F.explode(
+                        F.sequence(F.lit(0), F.coalesce(F.col("nu"), F.lit(0)))
+                    ).alias("c"),
+                )
             )
-            .groupBy("id")
-            .agg(F.min("c").cast("long").alias("color"))
-        )
-        colored = snapshot(colored.union(new), work_dir, f"colored_{r % 2}")
-        rounds = r
-        if fixed_rounds is None:
-            # convergence test costs one count per round — skipped entirely in
-            # fixed-round (oracle) mode, where the round count is the program
-            n_colored = colored.count()
-            history.append({"round": r, "colored": n_colored})
-            if n_colored >= n:
-                break
+            new = (
+                cand.join(
+                    used, (cand.id == used.id) & (cand.c == used.color), "left_anti"
+                )
+                .groupBy("id")
+                .agg(F.min("c").cast("long").alias("color"))
+            )
+            colored = _snap(colored.union(new), f"colored_{r % 2}")
+            hi.unpersist()
+            rounds = r
+            if fixed_rounds is None and (r % 2 == 0 or r >= limit):
+                # convergence test costs one count job — every 2nd round only
+                # (the worst case is one extra no-op round, which is cheap:
+                # an empty uncolored set makes every per-round relation empty);
+                # skipped entirely in fixed-round (oracle) mode, where the round
+                # count is the program
+                n_colored = colored.count()
+                history.append({"round": r, "colored": n_colored})
+                if n_colored >= n:
+                    break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_p)
     if fixed_rounds is not None:
         n_colored = colored.count()
     converged = n_colored >= n
