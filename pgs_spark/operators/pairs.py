@@ -7,16 +7,21 @@ divide-and-conquer commons/ClosestPointPair.java:48-93) and farthestPointPair
 closest_pair: grid-bucket candidate join. Bucket points into cells of side s;
 any pair closer than s shares a cell or sits in adjacent cells, so joining
 each point's 3×3 neighborhood finds every pair with dist < s — candidates per
-cell are O(points per cell), never all-pairs. If no pair beats s (grid too
-fine), double s and retry: the driver loop runs O(1) times in practice and
-the RESULT is s-independent (the exact global argmin), so a brute-force
-oracle can verify it.
+cell are O(points per cell), never all-pairs. s seeds from the bbox DIAGONAL
+(max extent / √n) so degenerate-but-valid inputs — all points collinear on an
+axis-aligned line, or all identical (extent 0) — still resolve: an area-based
+seed collapses to ~1e-150 there and no doubling count recovers. Cells index
+(x−x0)/s so a huge-coordinate, tiny-extent cloud cannot overflow the long
+cell id. Once s ≥ the bbox extent every pair shares a 3×3 probe, so the loop
+provably terminates with the exact pair for any n ≥ 2.
 
-farthest_pair: the farthest pair's endpoints lie on the convex hull, and the
-global hull is a subset of the union of per-partition hulls — so compute a
-monotone-chain hull per Arrow batch (numpy, mapInPandas — the one genuinely
-imperative step), union the small candidate sets, and take the exact argmax
-with the same SQL-mirrorable distance expression.
+farthest_pair: the farthest pair's endpoints lie on the convex hull. Pass 1
+computes a monotone-chain hull per Arrow batch (numpy, mapInPandas — bounded
+memory); pass 2 reduces the unioned candidates to the TRUE global hull
+(hull-of-union-of-hulls) on one partition and takes the exact argmax with
+CHUNKED vectorized pairwise distances — no crossJoin node anywhere in the
+plan, so co-circular data (every point on the hull) degrades to O(h²) flops
+inside one task instead of an n²-row shuffle.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ def _dist2(xa, ya, xb, yb):
 
 
 def closest_pair(
-    spark: SparkSession, points: DataFrame, max_doublings: int = 8
+    spark: SparkSession, points: DataFrame, max_doublings: int = 64
 ) -> DataFrame:
     """points (id, x, y) → single row (a, b, dist): the globally closest pair
     (a < b; ties broken by (dist, a, b)); dist rounded to 6dp."""
@@ -46,16 +51,20 @@ def closest_pair(
     if n < 2:
         pts.unpersist()
         return spark.createDataFrame([], "a long, b long, dist double")
-    area = max((stats["x1"] - stats["x0"]) * (stats["y1"] - stats["y0"]), 1e-300)
-    s = max((area / n) ** 0.5, 1e-150)  # expected ~1 point per cell
+    x0, y0 = float(stats["x0"]), float(stats["y0"])
+    extent = max(stats["x1"] - x0, stats["y1"] - y0)  # bbox DIAGONAL seed
+    s = max(extent, 0.0) / max(float(n) ** 0.5, 1.0)
+    if s <= 0.0:
+        s = 1e-12  # all points identical — any cell size finds the 0-dist pair
 
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     best = None
     for _ in range(max_doublings):
+        # bbox-relative cell ids: bounded by extent/s ≤ √n · 2^k — no overflow
         cells = pts.select(
             "id", "x", "y",
-            F.floor(F.col("x") / s).alias("cx"),
-            F.floor(F.col("y") / s).alias("cy"),
+            F.floor((F.col("x") - F.lit(x0)) / s).alias("cx"),
+            F.floor((F.col("y") - F.lit(y0)) / s).alias("cy"),
         )
         probe = cells.select(
             F.col("id").alias("a"), F.col("x").alias("xa"), F.col("y").alias("ya"),
@@ -82,7 +91,8 @@ def closest_pair(
             .filter(F.col("d") < F.lit(float(s)))
         )
         best = cand.orderBy("d", "a", "b").limit(1).first()
-        if best is not None:
+        if best is not None or s >= max(extent, 1e-12):
+            # s ≥ extent ⇒ every pair shared a probe ⇒ best is the true argmin
             break
         s *= 2.0
     pts.unpersist()
@@ -121,24 +131,58 @@ def _hull_batches(batches):
         yield pd.DataFrame({"id": hull[:, 0].astype("int64"), "x": hull[:, 1], "y": hull[:, 2]})
 
 
+def _global_argmax_batches(batches):
+    """Single-partition reducer: union of per-partition hull candidates →
+    global hull (hull-of-union-of-hulls == the true hull) → exact farthest
+    pair by chunked vectorized pairwise distance. Bounded memory (2048-row
+    chunks) and zero shuffle rows even when EVERY point is on the hull
+    (co-circular worst case)."""
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    if not pdfs:
+        return
+    allp = pd.concat(pdfs, ignore_index=True)
+    hull = allp if len(allp) <= 3 else next(iter(_hull_batches(iter([allp]))))
+    ids = hull["id"].to_numpy(np.int64)
+    xs = hull["x"].to_numpy(np.float64)
+    ys = hull["y"].to_numpy(np.float64)
+    n = len(ids)
+    if n < 2:
+        return
+    best = None  # (d, a, b) maximizing d, then minimizing (a, b)
+    chunk = 2048
+    for i0 in range(0, n, chunk):
+        xi, yi = xs[i0:i0 + chunk, None], ys[i0:i0 + chunk, None]
+        ii = ids[i0:i0 + chunk, None]
+        # same expression tree as the SQL oracle: (xa−xb)² + (ya−yb)², √ last
+        d = np.sqrt((xi - xs[None, :]) * (xi - xs[None, :])
+                    + (yi - ys[None, :]) * (yi - ys[None, :]))
+        lo = np.minimum(ii, ids[None, :])
+        hi = np.maximum(ii, ids[None, :])
+        mask = ii != ids[None, :]
+        if not mask.any():
+            continue
+        dm, am, bm = d[mask], lo[mask], hi[mask]
+        mx = dm.max()
+        tie = dm == mx
+        order = np.lexsort((bm[tie], am[tie]))
+        cand = (float(mx), int(am[tie][order[0]]), int(bm[tie][order[0]]))
+        if (
+            best is None
+            or cand[0] > best[0]
+            or (cand[0] == best[0] and (cand[1], cand[2]) < (best[1], best[2]))
+        ):
+            best = cand
+    yield pd.DataFrame({"a": [best[1]], "b": [best[2]], "dist": [best[0]]})
+
+
 def farthest_pair(spark: SparkSession, points: DataFrame) -> DataFrame:
     """points (id, x, y) → single row (a, b, dist): the globally farthest
     pair (a < b; ties broken by (−dist, a, b)); dist rounded to 6dp."""
     pts = points.select(
         F.col("id").cast("long"), F.col("x").cast("double"), F.col("y").cast("double")
     )
-    hull = pts.mapInPandas(_hull_batches, schema="id long, x double, y double").persist()
-    a = hull.select(F.col("id").alias("a"), F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = hull.select(F.col("id").alias("b"), F.col("x").alias("xb"), F.col("y").alias("yb"))
-    scored = (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a", "b",
-            F.sqrt(_dist2(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"))).alias("d"),
-        )
+    hull = pts.mapInPandas(_hull_batches, schema="id long, x double, y double")
+    out = hull.coalesce(1).mapInPandas(
+        _global_argmax_batches, schema="a long, b long, dist double"
     )
-    out = scored.orderBy(F.col("d").desc(), "a", "b").limit(1).select(
-        "a", "b", F.round("d", 6).alias("dist")
-    )
-    return out
+    return out.select("a", "b", F.round("dist", 6).alias("dist"))

@@ -50,3 +50,58 @@ def test_clustered_points_force_grid_doubling(spark):
     pts.append((0.0, 0.0))  # stretch the bbox so density-derived s is huge
     got = closest_pair(spark, _df(spark, pts)).first()
     assert (got["a"], got["b"], got["dist"]) == _brute(pts, "min")
+
+
+def test_farthest_pair_cocircular_bounded(spark):
+    """Co-circular points — EVERY point on the hull, the former n²-crossJoin
+    worst case. The two-pass hull + chunked in-task argmax must return the
+    exact pair with no CartesianProduct in the plan and no n²-row shuffle."""
+    import math
+
+    from pgs_spark.operators.pairs import farthest_pair
+    from pgs_spark.plans.explain import plan_string
+
+    n = 2000
+    rows = [
+        (i, math.cos(2 * math.pi * i / n), math.sin(2 * math.pi * i / n))
+        for i in range(n)
+    ]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    q = farthest_pair(spark, pts)
+    assert "CartesianProduct" not in plan_string(q)
+    got = q.first()
+    # brute-force oracle in numpy
+    import numpy as np
+
+    xs = np.array([r[1] for r in rows])
+    ys = np.array([r[2] for r in rows])
+    d = np.sqrt((xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2)
+    iu = np.triu_indices(n, 1)
+    dm = d[iu]
+    mx = dm.max()
+    ties = np.flatnonzero(dm == mx)
+    a = iu[0][ties].min()
+    b = iu[1][ties[iu[0][ties] == a]].min()
+    assert (got["a"], got["b"]) == (a, b)
+    assert abs(got["dist"] - round(float(mx), 6)) < 1e-12
+
+
+def test_closest_pair_collinear_and_identical(spark):
+    """Degenerate-but-valid inputs (zero bbox area) must still return the
+    true pair — the area-seeded grid collapsed here (ADVICE round 2)."""
+    from pgs_spark.operators.pairs import closest_pair
+
+    # axis-aligned collinear: height 0
+    pts = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 10.0, 5.0), (2, 13.0, 5.0), (3, 100.0, 5.0)],
+        "id long, x double, y double",
+    )
+    got = closest_pair(spark, pts).first()
+    assert (got["a"], got["b"], got["dist"]) == (1, 2, 3.0)
+    # all identical at a huge coordinate (zero extent, overflow hazard)
+    pts2 = spark.createDataFrame(
+        [(7, 1e15, -1e15), (8, 1e15, -1e15), (9, 1e15, -1e15)],
+        "id long, x double, y double",
+    )
+    got2 = closest_pair(spark, pts2).first()
+    assert (got2["a"], got2["b"], got2["dist"]) == (7, 8, 0.0)
