@@ -134,7 +134,13 @@ def capped_bucket_pairs(
             n_rows_in_hot_buckets=int(row["nr"] or 0),
             max_bucket=max_bucket,
         )
-    return cold_pairs.union(hot_pairs).distinct()
+    # Materialize the (capped, hence small) pair set, then release the
+    # caller's persisted bands/buckets relation: repeated candidate
+    # generation in a long-lived session must not accumulate cached
+    # relations (round-2 ADVICE — the kmeans_assign leak, same shape).
+    out = cold_pairs.union(hot_pairs).distinct().localCheckpoint(eager=True)
+    items.unpersist()
+    return out
 
 
 def lsh_candidates(

@@ -30,15 +30,17 @@ def _dims(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, cluster) after `iterations` Lloyd steps; init centroids are
-    the vectors with the k smallest ids (the actual k smallest — not
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments, centroids) after `iterations` Lloyd steps:
+    assignments = (vec_id, cluster); centroids = (c, i, cval) — the means of
+    the FINAL assignment (what an IVF probe ranks against). Init centroids
+    are the vectors with the k smallest ids (the actual k smallest — not
     `id < k`, which silently under-initializes on non-0-based id spaces)."""
     dims = _dims(embeddings, id_col, vec_col).persist()
     init_ids = (
@@ -72,8 +74,21 @@ def kmeans_assign(
             .agg(F.avg("val").alias("cval"))
         )
     out = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
+    cent_out = cent.select("c", "i", "cval").localCheckpoint(eager=True)
     dims.unpersist()  # long-lived sessions must not accumulate cached state
-    return out
+    return out, cent_out
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster) — see kmeans_fit."""
+    assign, _ = kmeans_fit(embeddings, k, iterations, id_col, vec_col)
+    return assign
 
 
 def kmeans_ctes(k: int = 4, iterations: int = 2) -> tuple[list[str], str]:

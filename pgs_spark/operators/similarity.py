@@ -68,6 +68,72 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-probe: k-means coarse quantizer → each query
+    searches its `nprobe` NEAREST CENTROIDS' clusters → exact cosine re-rank.
+
+    nprobe=1 recovers the classic single-cell IVF; nprobe>1 is the recall
+    knob — a true neighbor just across a cluster boundary is missed by the
+    single cell but caught by the second-closest one (the reference's
+    CoverTree 1-NN, PGS_CirclePacking.java:199-239, always finds the true
+    neighbor; this bounds how far the approximation is allowed to fall
+    short). Candidates per query are nprobe·|V|/k, and the re-rank is the
+    same whole-stage-codegen dot product as the brute-force baseline.
+    bench.py records measured recall@k vs brute force per nprobe — no
+    silent recall loss."""
+    from pyspark.sql import Window as W
+
+    from pgs_spark.operators.kmeans import _dims, kmeans_fit
+
+    assign, cent = kmeans_fit(embeddings, n_clusters, iterations, id_col, vec_col)
+    base = embeddings.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
+    )
+    # query → squared distance to each FINAL centroid (same expression tree
+    # as the quantizer itself, so the oracle mirrors it term for term)
+    qd = _dims(queries, id_col, vec_col)
+    d2 = (
+        qd.join(cent, "i")
+        .groupBy(F.col("vec_id").alias("query_id"), F.col("c"))
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))
+            ).alias("dist2")
+        )
+    )
+    wp = W.partitionBy("query_id").orderBy("dist2", "c")
+    probe = (
+        d2.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("c").alias("cluster"))
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    scored = (
+        base.join(F.broadcast(probe.join(q, "query_id")), "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("qv"), F.col("nv")), 6).alias("sim"),
+        )
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     """Deterministic ±1 hyperplanes from md5 parity (cross-engine constant)."""
     planes = []
