@@ -126,3 +126,28 @@ def integrity_report(undirected_edges: DataFrame) -> dict[str, int]:
         "non_canonical": int(agg["non_canonical"] or 0),
         "duplicate_edges": int(dup),
     }
+
+
+def boundary_vertices(weighted_edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """(id, is_boundary): the PMesh.initMeshVertices boundary flag
+    (commons/PMesh.java:57-67: an edge used by exactly ONE face marks both
+    endpoints as boundary vertices — the flag the reference's smoothing loop
+    pins in place).
+
+    Graft semantics on a weighted co-occurrence graph: ``weight == 1`` edges
+    are the single-support ("one face") edges; a vertex is boundary iff it is
+    incident to at least one. One filter + one semi-join per side — no
+    iteration, scale-safe."""
+    ends = weighted_edges.select(F.col("src").alias("id")).union(
+        weighted_edges.select(F.col("dst").alias("id"))
+    ).distinct()
+    single = weighted_edges.filter(F.col(weight_col) == 1)
+    b_ids = (
+        single.select(F.col("src").alias("id"))
+        .union(single.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("b", F.lit(True))
+    )
+    return ends.join(b_ids, "id", "left").select(
+        "id", F.coalesce("b", F.lit(False)).alias("is_boundary")
+    )

@@ -57,3 +57,45 @@ def interval_overlap_pairs(
         )
         .select("key", "a", "b")
     )
+
+
+def points_in_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    width: int,
+    point_val: str = "v",
+    point_id: str = "pid",
+    ivl_id: str = "iid",
+    start_col: str = "lo",
+    end_col: str = "hi",
+) -> DataFrame:
+    """findContainingFace graft (PGS_Meshing.findContainingFace,
+    PGS_Meshing.java:1045: locate the region containing a query point) as a
+    STRIP-BUCKETED lookup, 1D: points (pid, v) × intervals (iid, lo, hi) →
+    (pid, iid) for every half-open containment lo ≤ v < hi.
+
+    Intervals explode to the strips they touch; each point lives in exactly
+    ONE strip, so the equi-join emits every qualifying (point, interval) pair
+    exactly once — no post-join distinct. Never all-pairs: the join prunes
+    every interval not touching the point's strip. Strip width ≈ the median
+    interval length keeps the explode factor ~2 (same knob as
+    interval_overlap_pairs)."""
+    w = F.lit(width)
+    iv = intervals.select(
+        F.col(ivl_id).alias("iid"),
+        F.col(start_col).alias("lo"),
+        F.col(end_col).alias("hi"),
+        F.explode(
+            F.sequence(F.floor(F.col(start_col) / w), F.floor(F.col(end_col) / w))
+        ).alias("strip"),
+    )
+    pt = points.select(
+        F.col(point_id).alias("pid"),
+        F.col(point_val).alias("v"),
+        F.floor(F.col(point_val) / w).alias("strip"),
+    )
+    return (
+        pt.join(iv, "strip")
+        .filter((F.col("lo") <= F.col("v")) & (F.col("v") < F.col("hi")))
+        .select("pid", "iid")
+    )

@@ -69,3 +69,15 @@ def test_full_pipeline_integrity(spark):
     assert vertices(directed).count() <= 50
     for df in (cf, refs, directed):
         df.unpersist()
+
+
+def test_boundary_vertices_flag(spark):
+    """PMesh.initMeshVertices boundary graft: weight-1 edges flag both
+    endpoints; interior vertices (all incident weights > 1) stay false."""
+    from pgs_spark.operators.edges import boundary_vertices
+
+    we = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 1), (2, 3, 2)], "src long, dst long, weight long"
+    )
+    got = {r["id"]: r["is_boundary"] for r in boundary_vertices(we).collect()}
+    assert got == {0: False, 1: True, 2: True, 3: False}

@@ -127,3 +127,51 @@ def test_cli_coloring_and_merge_to_k_jobs(spark, tmp_path):
     mk = run(["merge-to-k", "--edges", edges, "--out", str(tmp_path / "groups"), "--k", "3"])
     assert mk["n_groups"] == 3
     assert spark.read.parquet(str(tmp_path / "groups")).count() == 30
+
+
+def test_points_in_intervals_exact(spark):
+    """Strip-bucketed containment lookup: half-open [lo, hi), pairs emitted
+    exactly once even when an interval spans many strips."""
+    from pgs_spark.operators.interval import points_in_intervals
+
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 100), (3, 250), (4, -10)], "pid long, v long"
+    )
+    ivs = spark.createDataFrame(
+        [(10, 0, 10), (11, 0, 300), (12, 100, 101), (13, 240, 260)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in points_in_intervals(pts, ivs, width=7).collect()
+    }
+    assert got == {
+        (1, 10), (1, 11),          # 5 in [0,10) and [0,300)
+        (2, 11), (2, 12),          # 100 in [0,300) and [100,101)
+        (3, 11), (3, 13),          # 250 in [0,300) and [240,260)
+    }                              # -10 in nothing; hi is exclusive
+
+
+def test_stream_foreach_batch_consumer(spark, tmp_path):
+    """foreachBatch egress: the user Consumer sees every row exactly once
+    across micro-batches (availableNow drain == batch relation)."""
+    from pgs_spark.streaming.foreach_sink import stream_foreach_batch
+
+    src = str(tmp_path / "nums")
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k").write.parquet(src)
+    seen = {"rows": 0, "ksum": 0, "batches": 0}
+
+    def consumer(bdf, bid):
+        from pyspark.sql import functions as F
+
+        row = bdf.groupBy().agg(
+            F.count("*").alias("n"), F.sum("k").alias("s")
+        ).first()
+        seen["rows"] += row["n"]
+        seen["ksum"] += row["s"]
+        seen["batches"] += 1
+
+    stream_foreach_batch(spark, src, consumer)
+    assert seen["rows"] == 1000
+    assert seen["ksum"] == sum(i % 7 for i in range(1000))
+    assert seen["batches"] >= 1
