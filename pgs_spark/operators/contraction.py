@@ -27,6 +27,7 @@ J self-joins for pointer jumping. Round state snapshots to parquet off-heap.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,65 +66,99 @@ def merge_to_k(
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    groups = snapshot(verts.select("id", F.col("id").alias("g")), work_dir, "g_0")
+    m = edges.count()
+
+    # Same driver-loop latency treatment as Jones-Plassmann: per-round wall
+    # clock is stages x scheduler latency, so size the round shuffles to the
+    # DATA (8 partitions at small |E|, the session default at cluster scale)
+    # and keep round state as coalesced localCheckpoints below a threshold
+    # (parquet round-trips dominate small graphs; off-heap parquet above it).
+    default_p = spark.conf.get("spark.sql.shuffle.partitions")
+    round_p = max(8, min(int(default_p), m // 250_000 + 8))
+    use_local = m <= int(os.environ.get("PGS_MERGEK_LOCAL_STATE_MAX", "2000000"))
+
+    def _snap(df: DataFrame, name: str) -> DataFrame:
+        if use_local:
+            return df.coalesce(round_p).localCheckpoint(eager=True)
+        return snapshot(df, work_dir, name)
+
+    groups = _snap(verts.select("id", F.col("id").alias("g")), "g_0")
+    # Group-level edge table, CONTRACTED each round: round r's group
+    # adjacency is the image of round r-1's group edges under the merge
+    # mapping (transitivity of contraction), so later rounds join a
+    # monotonically SHRINKING relation instead of re-joining the full
+    # vertex-level edge table against groups every round.
+    gedges = _snap(
+        edges.select(F.col("src").alias("ga"), F.col("dst").alias("gb")), "ge_0"
+    )
     history: list[dict] = []
     n_groups = groups.select("g").distinct().count()
     rounds = 0
     limit = fixed_rounds if fixed_rounds is not None else max_rounds
-    for r in range(1, limit + 1):
-        if fixed_rounds is None and n_groups <= k:
-            break
-        sizes = groups.groupBy("g").agg(F.count("*").alias("sz"))
-        keep = sizes.orderBy(F.col("sz").desc(), F.col("g").desc()).limit(k)
-        cand = sizes.join(keep.select("g"), "g", "left_anti")
-        # group-level adjacency, both directions, with sizes on both sides
-        ga = groups.select(F.col("id").alias("src"), F.col("g").alias("ga"))
-        gb = groups.select(F.col("id").alias("dst"), F.col("g").alias("gb"))
-        gpairs = (
-            edges.join(ga, "src")
-            .join(gb, "dst")
-            .filter(F.col("ga") != F.col("gb"))
-            .select("ga", "gb")
-        )
-        gsym = gpairs.union(
-            gpairs.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
-        ).distinct()
-        adj = (
-            gsym.join(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza")), "ga")
-            .join(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb")), "gb")
-        )
-        targets = (
-            adj.join(cand.select(F.col("g").alias("ga")), "ga", "left_semi")
-            .filter(
-                (F.col("szb") > F.col("sza"))
-                | ((F.col("szb") == F.col("sza")) & (F.col("gb") > F.col("ga")))
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    try:
+        for r in range(1, limit + 1):
+            if fixed_rounds is None and n_groups <= k:
+                break
+            sizes = groups.groupBy("g").agg(F.count("*").alias("sz"))
+            keep = sizes.orderBy(F.col("sz").desc(), F.col("g").desc()).limit(k)
+            cand = sizes.join(keep.select("g"), "g", "left_anti")
+            # group-level adjacency, both directions, with sizes on both
+            # sides (gedges is canonical loop-free — maintained below; no
+            # distinct: the per-group struct-MIN below is dup-insensitive)
+            gsym = gedges.union(
+                gedges.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
             )
-            .groupBy("ga")
-            .agg(F.min(F.struct(F.col("szb"), F.col("gb"))).alias("t"))
-            .select(F.col("ga").alias("g"), F.col("t.gb").alias("tgt"))
-        )
-        # total mapping with identity default, then J pointer jumps
-        mapping = sizes.select("g").join(targets, "g", "left").select(
-            "g", F.coalesce("tgt", F.col("g")).alias("tgt")
-        )
-        for _ in range(jumps):
-            nxt = mapping.select(F.col("g").alias("tgt"), F.col("tgt").alias("tgt2"))
-            mapping = mapping.join(nxt, "tgt").select(
-                "g", F.col("tgt2").alias("tgt")
+            adj = (
+                gsym.join(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza")), "ga")
+                .join(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb")), "gb")
             )
-        groups = snapshot(
-            groups.join(mapping, groups.g == mapping.g).select(
-                "id", F.col("tgt").alias("g")
-            ),
-            work_dir,
-            f"g_{r % 2}",
-        )
-        rounds = r
-        if fixed_rounds is None:
-            # stop test costs one distinct-count per round — skipped in
-            # fixed-round (oracle) mode
-            n_groups = groups.select("g").distinct().count()
-            history.append({"round": r, "n_groups": n_groups})
+            targets = (
+                adj.join(cand.select(F.col("g").alias("ga")), "ga", "left_semi")
+                .filter(
+                    (F.col("szb") > F.col("sza"))
+                    | ((F.col("szb") == F.col("sza")) & (F.col("gb") > F.col("ga")))
+                )
+                .groupBy("ga")
+                .agg(F.min(F.struct(F.col("szb"), F.col("gb"))).alias("t"))
+                .select(F.col("ga").alias("g"), F.col("t.gb").alias("tgt"))
+            )
+            # total mapping with identity default, then J pointer jumps
+            mapping = sizes.select("g").join(targets, "g", "left").select(
+                "g", F.coalesce("tgt", F.col("g")).alias("tgt")
+            )
+            for _ in range(jumps):
+                nxt = mapping.select(F.col("g").alias("tgt"), F.col("tgt").alias("tgt2"))
+                mapping = mapping.join(nxt, "tgt").select(
+                    "g", F.col("tgt2").alias("tgt")
+                )
+            groups = _snap(
+                groups.join(mapping, groups.g == mapping.g).select(
+                    "id", F.col("tgt").alias("g")
+                ),
+                f"g_{r % 2}",
+            )
+            ma = mapping.select(F.col("g").alias("ga"), F.col("tgt").alias("ta"))
+            mb = mapping.select(F.col("g").alias("gb"), F.col("tgt").alias("tb"))
+            gedges = _snap(
+                gedges.join(ma, "ga")
+                .join(mb, "gb")
+                .select(
+                    F.least("ta", "tb").alias("ga"),
+                    F.greatest("ta", "tb").alias("gb"),
+                )
+                .filter(F.col("ga") != F.col("gb"))
+                .distinct(),
+                f"ge_{r % 2}",
+            )
+            rounds = r
+            if fixed_rounds is None:
+                # stop test costs one distinct-count per round — skipped in
+                # fixed-round (oracle) mode
+                n_groups = groups.select("g").distinct().count()
+                history.append({"round": r, "n_groups": n_groups})
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_p)
     if fixed_rounds is not None:
         n_groups = groups.select("g").distinct().count()
     edges.unpersist()
