@@ -56,11 +56,16 @@ def streaming_sessionize(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ["us", "event_id"], kind="mergesort"
         )
-        for us in rows["us"].to_numpy():
-            if last_us is None or us - last_us > gap_us:
-                n_sessions += 1
-            last_us = int(us)
-            n_events += 1
+        us = rows["us"].to_numpy()
+        if len(us):
+            import numpy as np
+
+            # vectorized gap count over the sorted batch (hot keys can carry
+            # many events per micro-batch; a Python row loop does not)
+            n_sessions += int((np.diff(us) > gap_us).sum())
+            n_sessions += 1 if (last_us is None or us[0] - last_us > gap_us) else 0
+            last_us = int(us[-1])
+            n_events += len(us)
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
