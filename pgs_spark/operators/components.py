@@ -103,22 +103,33 @@ def connected_components(
     sig = _signature(e)
     history = [{"round": 0, "edges": sig[0]}]
     rounds = 0
-    for rounds in range(1, max_iter + 1):
-        new_e = _small_star(_large_star(e))
-        if work_dir:
-            # off-heap round state (large graphs)
-            new_e = _snapshot(new_e, work_dir, f"round_{rounds % 2}")
-        else:
-            # lazy localCheckpoint: the signature action below materializes
-            # it — one job per round, lineage still truncated (small graphs).
-            new_e = new_e.localCheckpoint(eager=False)
-        new_sig = _signature(new_e)
-        e.unpersist()
-        e = new_e
-        history.append({"round": rounds, "edges": new_sig[0]})
-        if new_sig == sig:
-            break
-        sig = new_sig
+    # Round wall clock on small graphs is stage-scheduling latency, so size
+    # the round shuffles to the DATA (8 partitions at small |E|, the session
+    # default at cluster scale) — same recipe as coloring/merge_to_k.
+    default_p = spark.conf.get("spark.sql.shuffle.partitions")
+    round_p = max(8, min(int(default_p), sig[0] // 250_000 + 8))
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    try:
+        for rounds in range(1, max_iter + 1):
+            new_e = _small_star(_large_star(e))
+            if work_dir:
+                # off-heap round state (large graphs)
+                new_e = _snapshot(new_e, work_dir, f"round_{rounds % 2}")
+            else:
+                # lazy localCheckpoint: the signature action below
+                # materializes it — one job per round, lineage still
+                # truncated (small graphs). coalesce first: repeated
+                # checkpoint unions would otherwise accumulate partitions.
+                new_e = new_e.coalesce(round_p).localCheckpoint(eager=False)
+            new_sig = _signature(new_e)
+            e.unpersist()
+            e = new_e
+            history.append({"round": rounds, "edges": new_sig[0]})
+            if new_sig == sig:
+                break
+            sig = new_sig
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_p)
 
     # Converged: e is a star forest (v → component-min). Roots and isolated
     # vertices map to themselves.
