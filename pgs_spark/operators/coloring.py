@@ -70,6 +70,7 @@ def jones_plassmann(
     max_rounds: int = 50,
     fixed_rounds: int | None = None,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> ColoringResult:
     """Proper coloring of a canonical undirected edge table → (id, color).
 
@@ -77,6 +78,14 @@ def jones_plassmann(
     vertices not yet resolved (both the engine and the unrolled oracle execute
     the identical fixed program, so they agree even if the graph needs more
     rounds). Without it, runs to full convergence (every vertex colored).
+
+    `checkpoint_dir` makes the run DURABLE (the PageRank/LPA treatment): each
+    round's colored set is checkpointed with a manifest keyed on the input
+    fingerprint + seed, and a restarted call resumes mid-coloring — safe
+    because JP with a static (md5, id) priority is a fixed program: the
+    remaining rounds depend only on the colored-set state. The convergence
+    count rides the checkpoint write via observe() (free every round, vs the
+    every-2nd-round count job on the ephemeral path).
     """
     work_dir = make_work_dir("pgs_color_")
     verts = (
@@ -113,15 +122,45 @@ def jones_plassmann(
             return df.coalesce(round_p).localCheckpoint(eager=True)
         return snapshot(df, work_dir, name)
 
-    colored = spark.createDataFrame([], "id long, color long")
-    colored = _snap(colored, "colored_0")
-    n_colored = 0
-    history: list[dict] = []
     limit = fixed_rounds if fixed_rounds is not None else max_rounds
-    rounds = 0
+    cp = None
+    start_round = 0
+    n_colored = 0
+    resumed_converged = False
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            f"{fingerprint_edges(undirected_edges)}|seed={seed}",
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()  # stale state from a different input/seed — never mix
+            colored = None
+        else:
+            start_round, colored, m = rp
+            n_colored = int(m.get("n_colored", 0))
+            resumed_converged = bool(m.get("converged", False))
+    else:
+        colored = None
+    if colored is None:
+        colored = spark.createDataFrame([], "id long, color long")
+        colored = _snap(colored, "colored_0")
+    history: list[dict] = []
+    rounds = start_round
+    # NOTE: this mutates the SESSION-global shuffle width for the duration of
+    # the loop (restored in finally). The iterative operators assume exclusive
+    # use of the SparkSession while they run — a concurrent query on the same
+    # session would be re-planned at round_p. Round state handed onward is
+    # materialized (checkpoint/snapshot) before the restore, so no lazy plan
+    # escapes with the narrow width.
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     try:
-        for r in range(1, limit + 1):
+        for r in range(start_round + 1, limit + 1):
+            if resumed_converged:
+                break
             unc_ids = verts.select("id").join(colored, "id", "left_anti")
             # ONE pass over sym_p: higher-priority-neighbor edges of uncolored
             # vertices, each tagged with the neighbor's color (null = uncolored).
@@ -160,6 +199,29 @@ def jones_plassmann(
                 .groupBy("id")
                 .agg(F.min("c").cast("long").alias("color"))
             )
+            if cp is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                observed = colored.union(new).observe(
+                    obs, F.count(F.lit(1)).alias("n")
+                )
+                holder = {}
+
+                def _mfn(obs=obs, holder=holder):
+                    n_c = int(obs.get["n"] or 0)
+                    holder["n"] = n_c
+                    return {"n_colored": n_c, "converged": n_c >= n}
+
+                colored = cp.save(observed, r, metrics_fn=_mfn, lineage=False)
+                cp.prune(keep_last=2)
+                n_colored = holder["n"]
+                hi.unpersist()
+                rounds = r
+                history.append({"round": r, "colored": n_colored})
+                if fixed_rounds is None and n_colored >= n:
+                    break
+                continue
             colored = _snap(colored.union(new), f"colored_{r % 2}")
             hi.unpersist()
             rounds = r

@@ -20,7 +20,7 @@ import os
 import tempfile
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pgs_spark.operators.state import snapshot as _snapshot
@@ -76,13 +76,20 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     work_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> ComponentsResult:
     """Edge table (src, dst), any orientation → (id, component).
 
     component is the minimum vertex id in the component (hash-to-min canonical
     form). Isolated vertices never occur in an edge table; callers with a
     separate vertex set should left-join and coalesce(component, id).
-    """
+
+    `checkpoint_dir` makes the run DURABLE (the PageRank/LPA treatment): each
+    round's star edge set is written with a manifest carrying the input
+    fingerprint, round signature, and per-partition lineage; a restarted call
+    with the same dir and input resumes from the newest round instead of
+    round 0 — a multi-hour CC at cluster scale survives a driver restart.
+    The convergence signature rides the checkpoint write via observe()."""
     verts = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -100,28 +107,88 @@ def connected_components(
         work_dir = tmp = tempfile.mkdtemp(
             prefix="pgs_cc_", dir=os.environ.get("PGS_SPARK_LOCAL_DIR") or None
         )
-    sig = _signature(e)
-    history = [{"round": 0, "edges": sig[0]}]
-    rounds = 0
+    cp = None
+    start_round = 0
+    sig = None
+    resumed_converged = False
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(spark, checkpoint_dir, fingerprint_edges(edges))
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()  # stale state from a different input — never mix
+        else:
+            start_round, e_cp, m = rp
+            e.unpersist()
+            e = e_cp
+            sig = (int(m.get("edges", 0)), int(m.get("sig_h", 0)))
+            resumed_converged = bool(m.get("converged", False))
+    if sig is None:
+        sig = _signature(e)
+    history = [{"round": start_round, "edges": sig[0]}]
+    rounds = start_round
     # Round wall clock on small graphs is stage-scheduling latency, so size
     # the round shuffles to the DATA (8 partitions at small |E|, the session
     # default at cluster scale) — same recipe as coloring/merge_to_k.
     default_p = spark.conf.get("spark.sql.shuffle.partitions")
     round_p = max(8, min(int(default_p), sig[0] // 250_000 + 8))
+    # NOTE: this mutates the SESSION-global shuffle width for the duration of
+    # the loop (restored in finally). The iterative operators assume exclusive
+    # use of the SparkSession while they run — a concurrent query on the same
+    # session would be re-planned at round_p. Round state handed onward is
+    # materialized (checkpoint/snapshot) before the restore, so no lazy plan
+    # escapes with the narrow width.
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     try:
-        for rounds in range(1, max_iter + 1):
+        for rounds in range(start_round + 1, max_iter + 1):
+            if resumed_converged:
+                rounds = start_round
+                break
             new_e = _small_star(_large_star(e))
-            if work_dir:
-                # off-heap round state (large graphs)
-                new_e = _snapshot(new_e, work_dir, f"round_{rounds % 2}")
+            if cp is not None:
+                # durable round state: signature rides the manifest write
+                obs = Observation()
+                observed = new_e.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+                )
+                holder = {}
+
+                def _mfn(obs=obs, holder=holder, prev_sig=sig):
+                    vals = obs.get
+                    holder["sig"] = (int(vals["n"] or 0), int(vals["h"] or 0))
+                    return {
+                        "edges": holder["sig"][0],
+                        "sig_h": holder["sig"][1],
+                        "converged": holder["sig"] == prev_sig,
+                    }
+
+                new_e = cp.save(observed, rounds, metrics_fn=_mfn, lineage=True)
+                cp.prune(keep_last=2)
+                new_sig = holder["sig"]
+            elif work_dir:
+                # off-heap round state (large graphs): the convergence
+                # signature rides the parquet WRITE job via observe() — one
+                # job per round instead of write + full re-read (the re-read
+                # is a whole extra pass over the edge set at cluster scale).
+                obs = Observation()
+                observed = new_e.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+                )
+                new_e = _snapshot(observed, work_dir, f"round_{rounds % 2}")
+                vals = obs.get
+                new_sig = (int(vals["n"] or 0), int(vals["h"] or 0))
             else:
                 # lazy localCheckpoint: the signature action below
                 # materializes it — one job per round, lineage still
                 # truncated (small graphs). coalesce first: repeated
                 # checkpoint unions would otherwise accumulate partitions.
                 new_e = new_e.coalesce(round_p).localCheckpoint(eager=False)
-            new_sig = _signature(new_e)
+                new_sig = _signature(new_e)
             e.unpersist()
             e = new_e
             history.append({"round": rounds, "edges": new_sig[0]})

@@ -95,6 +95,12 @@ def merge_to_k(
     n_groups = groups.select("g").distinct().count()
     rounds = 0
     limit = fixed_rounds if fixed_rounds is not None else max_rounds
+    # NOTE: this mutates the SESSION-global shuffle width for the duration of
+    # the loop (restored in finally). The iterative operators assume exclusive
+    # use of the SparkSession while they run — a concurrent query on the same
+    # session would be re-planned at round_p. Round state handed onward is
+    # materialized (checkpoint/snapshot) before the restore, so no lazy plan
+    # escapes with the narrow width.
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     try:
         for r in range(1, limit + 1):

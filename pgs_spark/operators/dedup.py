@@ -236,9 +236,12 @@ def dedup_keep_list(
       keep_id = the cluster's minimum doc id (== its component id)
 
     Docs in no cluster keep themselves. Hot LSH buckets are star-capped
-    (`max_bucket`), which is exactly CC-equivalent: the star preserves
-    connectivity inside the bucket, and Jaccard-verification then prunes
-    non-duplicate spokes the same way it prunes non-duplicate pairs.
+    (`max_bucket`) — an APPROXIMATION, not exact CC-equivalence: if the
+    bucket-min doc is not itself a near-dup of members B and C, the spokes
+    (min,B),(min,C) fail Jaccard verification and the direct B–C duplicate
+    edge is lost to this band (recall loss). In practice near-dups co-occur
+    in other bands, and `stats_out["n_hot_buckets"]` surfaces every capped
+    bucket so the fidelity trade is visible rather than silent.
     """
     from pgs_spark.operators.components import connected_components
 

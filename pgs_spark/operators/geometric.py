@@ -133,6 +133,15 @@ def nearest_value_1d(
     argmin (anything closer shares the probe window); left rows whose best
     candidate is farther re-run with s doubled — the closest_pair doubling
     discipline, O(log range) driver rounds, each a pure equi-join + min_by.
+
+    Exactness guards: cells index (val − lo)/s — NOT raw val/s — so a
+    huge-coordinate, tiny-range input (values ~1e15, s tiny) cannot overflow
+    the long cell id or lose adjacency to double rounding; and any left rows
+    still unresolved after `max_doublings` (e.g. a degenerate s floor of
+    1e-12, whose coverage caps at ~281 after 48 doublings) get ONE final
+    bounded pass at s = every unresolved row's worst-case distance to its
+    nearest right endpoint (lo/hi are right values, so nearest-dist ≤
+    min(|lv−lo|, |lv−hi|) ≤ that s) — no row is ever silently dropped.
     """
     left = left.select(F.col("id").alias("lid"), F.col("val").cast("double").alias("lv"))
     r = (
@@ -148,17 +157,21 @@ def nearest_value_1d(
     if nr == 0:
         r.unpersist()
         return spark.createDataFrame([], "lid long, rid long")
-    s = max((float(stats["hi"]) - float(stats["lo"])) / nr, 1e-12)
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    s = max((hi - lo) / nr, 1e-12)
 
-    unresolved = left.persist()
-    resolved_parts = []
-    for _ in range(max_doublings):
-        rcells = r.select("rv", "rid", F.floor(F.col("rv") / s).alias("cell"))
+    def _round(unresolved, s):
+        """One banded round at cell side s → (resolved (lid, rid), leftovers)."""
+        rcells = r.select(
+            "rv", "rid", F.floor((F.col("rv") - F.lit(lo)) / s).alias("cell")
+        )
         probe = unresolved.select(
             "lid",
             "lv",
             F.explode(
-                F.array(*[F.floor(F.col("lv") / s) + d for d in (-1, 0, 1)])
+                F.array(
+                    *[F.floor((F.col("lv") - F.lit(lo)) / s) + d for d in (-1, 0, 1)]
+                )
             ).alias("cell"),
         )
         best = (
@@ -172,7 +185,12 @@ def nearest_value_1d(
             .select("lid", F.col("c.d").alias("d"), F.col("c.rid").alias("rid"))
         )
         done = best.filter(F.col("d") <= F.lit(float(s))).select("lid", "rid")
-        done = done.localCheckpoint(eager=True)
+        return done.localCheckpoint(eager=True)
+
+    unresolved = left.persist()
+    resolved_parts = []
+    for _ in range(max_doublings):
+        done = _round(unresolved, s)
         resolved_parts.append(done)
         nxt = unresolved.join(done, "lid", "left_anti").persist()
         unresolved.unpersist()
@@ -180,6 +198,19 @@ def nearest_value_1d(
         if unresolved.isEmpty():
             break
         s *= 2.0
+    else:
+        # doubling budget exhausted with leftovers: one exact final pass at
+        # s ≥ max over leftovers of min(|lv−lo|, |lv−hi|) — an upper bound on
+        # each row's nearest-neighbor distance, so every row resolves here
+        bound = unresolved.agg(
+            F.max(
+                F.least(
+                    F.abs(F.col("lv") - F.lit(lo)), F.abs(F.col("lv") - F.lit(hi))
+                )
+            ).alias("b")
+        ).first()["b"]
+        if bound is not None:
+            resolved_parts.append(_round(unresolved, max(float(bound), s)))
     r.unpersist()
     unresolved.unpersist()
     out = resolved_parts[0]

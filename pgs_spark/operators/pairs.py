@@ -7,13 +7,17 @@ divide-and-conquer commons/ClosestPointPair.java:48-93) and farthestPointPair
 closest_pair: grid-bucket candidate join. Bucket points into cells of side s;
 any pair closer than s shares a cell or sits in adjacent cells, so joining
 each point's 3×3 neighborhood finds every pair with dist < s — candidates per
-cell are O(points per cell), never all-pairs. s seeds from the bbox DIAGONAL
+cell are O(points per cell), never all-pairs. s seeds from the bbox extent
 (max extent / √n) so degenerate-but-valid inputs — all points collinear on an
 axis-aligned line, or all identical (extent 0) — still resolve: an area-based
 seed collapses to ~1e-150 there and no doubling count recovers. Cells index
 (x−x0)/s so a huge-coordinate, tiny-extent cloud cannot overflow the long
-cell id. Once s ≥ the bbox extent every pair shares a 3×3 probe, so the loop
-provably terminates with the exact pair for any n ≥ 2.
+cell id. The candidate filter is INCLUSIVE (d ≤ s — a pair at distance
+exactly s differs by ≤ s per axis, so it still lands in the 3×3 probe) and
+the no-candidate loop only gives up once s ≥ the bbox DIAGONAL (at which
+point every pair both shares a probe and passes d ≤ s), so the loop provably
+terminates with the exact pair for any n ≥ 2 — including two points on
+opposite bbox corners, where d = √2·extent > extent.
 
 farthest_pair: the farthest pair's endpoints lie on the convex hull. Pass 1
 computes a monotone-chain hull per Arrow batch (numpy, mapInPandas — bounded
@@ -52,7 +56,10 @@ def closest_pair(
         pts.unpersist()
         return spark.createDataFrame([], "a long, b long, dist double")
     x0, y0 = float(stats["x0"]), float(stats["y0"])
-    extent = max(stats["x1"] - x0, stats["y1"] - y0)  # bbox DIAGONAL seed
+    extent = max(stats["x1"] - x0, stats["y1"] - y0)
+    # give-up bound: the bbox diagonal — no pair is farther, so once s ≥ diag
+    # the inclusive d ≤ s filter admits every pair and best cannot be None
+    diag = float(np.hypot(stats["x1"] - x0, stats["y1"] - y0))
     s = max(extent, 0.0) / max(float(n) ** 0.5, 1.0)
     if s <= 0.0:
         s = 1e-12  # all points identical — any cell size finds the 0-dist pair
@@ -88,11 +95,13 @@ def closest_pair(
                 "a", "b",
                 F.sqrt(_dist2(F.col("xa"), F.col("ya"), F.col("xb"), F.col("yb"))).alias("d"),
             )
-            .filter(F.col("d") < F.lit(float(s)))
+            .filter(F.col("d") <= F.lit(float(s)))
         )
         best = cand.orderBy("d", "a", "b").limit(1).first()
-        if best is not None or s >= max(extent, 1e-12):
-            # s ≥ extent ⇒ every pair shared a probe ⇒ best is the true argmin
+        if best is not None or s >= max(diag, 1e-12):
+            # any candidate ⇒ the true argmin pair has d ≤ s ⇒ it shared a
+            # probe and survived the inclusive filter ⇒ best IS the argmin;
+            # s ≥ diag ⇒ every pair is a candidate, so best cannot be None
             break
         s *= 2.0
     pts.unpersist()

@@ -42,6 +42,7 @@ class CheckpointManager:
         metrics: dict | None = None,
         lineage: bool = True,
         suffix: str = "",
+        metrics_fn=None,
     ) -> DataFrame:
         """Persist one superstep's vertex state; returns the re-read DataFrame
         (flat lineage, with its parquet path on `_pgs_snapshot_path`).
@@ -49,11 +50,17 @@ class CheckpointManager:
         manifest unless `lineage=False` (ephemeral checkpoints skip that
         extra job). `suffix` distinguishes a sub-step snapshot of the same
         iteration (e.g. a λ-extrapolation jump); its manifest supersedes the
-        plain one."""
+        plain one. `metrics_fn` (no-arg callable → dict) is evaluated AFTER
+        the parquet write action — the hook for Observation metrics that ride
+        the write job — and its result is merged over `metrics`, so observed
+        values land in the same manifest as the partition lineage without a
+        second write_manifest call."""
         path = os.path.join(self.dir, f"state_{iteration:05d}{suffix}")
         state.write.mode("overwrite").parquet(path)
         reread = self.spark.read.parquet(path)
         reread._pgs_snapshot_path = path
+        if metrics_fn is not None:
+            metrics = {**(metrics or {}), **(metrics_fn() or {})}
         part_rows = []
         if lineage:
             part_rows = [

@@ -70,3 +70,24 @@ def test_fixed_rounds_marks_unresolved(spark):
     assert unresolved, "2 rounds should not fully color a 40-vertex random graph"
     assert all(got[v] == full[v] for v in got if got[v] != -1)
     assert conflict_count(e, res.colors) == 0
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    """Durable JP coloring: interrupt after 2 rounds, resume → colors equal
+    to an uninterrupted run (JP with static priorities is deterministic)."""
+    from pgs_spark.operators.coloring import jones_plassmann
+
+    pairs = random_graph(60, 0.08, seed=31)
+    e = edges_df(spark, pairs)
+    cp = str(tmp_path / "jp_ck")
+
+    interrupted = jones_plassmann(spark, e, max_rounds=2, checkpoint_dir=cp)
+    assert interrupted.rounds == 2 and not interrupted.converged
+    resumed = jones_plassmann(spark, e, checkpoint_dir=cp)
+    straight = jones_plassmann(spark, e)
+    a = {r["id"]: r["color"] for r in resumed.colors.collect()}
+    b = {r["id"]: r["color"] for r in straight.colors.collect()}
+    assert a == b
+    assert resumed.converged
+    # resume skipped rounds 1-2
+    assert resumed.history[0]["round"] == 3

@@ -45,3 +45,40 @@ def test_rounds_logarithmic(spark):
     res = connected_components(spark, edges_df(spark, path))
     assert _collect(res) == {i: 0 for i in range(n)}
     assert res.rounds <= 12  # ~2·log2(256) + slack, NOT ~256
+
+
+def test_checkpoint_resume_identical(spark, tmp_path):
+    """Durable CC (north-rule resume): interrupt after 2 rounds, resume →
+    components identical to an uninterrupted run, and the resumed run's
+    history shows it started past round 0 instead of redoing the work."""
+    pairs = random_graph(80, 0.03, seed=77)
+    cp = str(tmp_path / "cc_ck")
+
+    interrupted = connected_components(
+        spark, edges_df(spark, pairs), max_iter=2, checkpoint_dir=cp
+    )
+    assert interrupted.rounds == 2
+    resumed = connected_components(
+        spark, edges_df(spark, pairs), checkpoint_dir=cp
+    )
+    straight = connected_components(spark, edges_df(spark, pairs))
+    assert _collect(resumed) == _collect(straight) == ref_components(pairs)
+    # resume skipped rounds 1-2: its history starts at round 2
+    assert resumed.history[0]["round"] == 2
+    # a third call resumes the CONVERGED manifest without iterating
+    again = connected_components(
+        spark, edges_df(spark, pairs), checkpoint_dir=cp
+    )
+    assert _collect(again) == _collect(straight)
+
+
+def test_checkpoint_ignores_other_input(spark, tmp_path):
+    """A checkpoint from a different edge set must not be resumed."""
+    cp = str(tmp_path / "cc_ck2")
+    connected_components(
+        spark, edges_df(spark, [(0, 1), (1, 2)]), checkpoint_dir=cp
+    )
+    other = connected_components(
+        spark, edges_df(spark, [(5, 6), (7, 8)]), checkpoint_dir=cp
+    )
+    assert _collect(other) == {5: 5, 6: 5, 7: 7, 8: 7}

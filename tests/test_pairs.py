@@ -105,3 +105,48 @@ def test_closest_pair_collinear_and_identical(spark):
     )
     got2 = closest_pair(spark, pts2).first()
     assert (got2["a"], got2["b"], got2["dist"]) == (7, 8, 0.0)
+
+
+def test_closest_pair_two_diagonal_corners(spark):
+    """Two points on opposite bbox corners: d = sqrt(2)*extent > extent. The
+    round-3 strict d < s filter + s >= extent break returned EMPTY here
+    (ADVICE round 3 high) — must return the exact pair, never empty."""
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 1.0, 1.0)], "id long, x double, y double"
+    )
+    rows = closest_pair(spark, pts).collect()
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got["a"], got["b"], got["dist"]) == (0, 1, round(math.sqrt(2.0), 6))
+
+
+def test_nearest_value_1d_huge_offset_and_leftovers(spark):
+    """ADVICE round 3 medium: raw-value bucketing mis-buckets huge-coordinate
+    tiny-range values; leftovers after the doubling budget were dropped.
+    Cells now index (val - lo)/s and a final bounded pass resolves all rows."""
+    from pgs_spark.operators.geometric import nearest_value_1d
+
+    # huge coordinates, tiny relative range: raw floor(v/s) computes cell ids
+    # ~1e15 where double ulp is ~0.25 — adjacency is lost to rounding.
+    # (spacing 1.0 at base 1e15 is exactly representable: ulp(1e15) = 0.125)
+    base = 1e15
+    right = spark.createDataFrame(
+        [(i, base + i * 1.0) for i in range(10)], "id long, val double"
+    )
+    left = spark.createDataFrame(
+        [(100 + i, base + i * 1.0 + 0.375) for i in range(10)],
+        "id long, val double",
+    )
+    got = {r["lid"]: r["rid"] for r in nearest_value_1d(spark, left, right).collect()}
+    assert got == {100 + i: i for i in range(10)}
+
+    # all right values identical (s floors at 1e-12, doubling caps ~281):
+    # a far-away left row must STILL resolve via the final bounded pass
+    right2 = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], "id long, val double"
+    )
+    left2 = spark.createDataFrame(
+        [(10, 1e6), (11, 4.9)], "id long, val double"
+    )
+    got2 = {r["lid"]: r["rid"] for r in nearest_value_1d(spark, left2, right2).collect()}
+    assert got2 == {10: 1, 11: 1}
