@@ -8,6 +8,8 @@ pgs_spark/plans/oracle_sql.py). Column names/types are aligned on both sides.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -833,59 +835,30 @@ def q_prune_by_bucket(spark, sf_dir):
 
 
 # The driver's correctness gate verifies the FIRST 50 queries() entries
-# (r1: 34/34, r2: 50 rows = exactly the first 50 of 57). With more queries
-# than gate slots, ordering IS the rotation policy:
-#   _GATE_FRONT — queries that are new, changed this round, or whose last
-#                 green row is stale (>1 round old): always inside the gate.
-#   _GATE_TAIL  — queries with the FRESHEST green rows, unchanged since:
-#                 rotated out this round, rotated back next round.
-# Every query keeps a green row at most one round old.
-_GATE_FRONT = [
-    "zorder_index",        # never gated before r3
-    "nearest_neighbor",    # re-planned r3 (banded equi-join)
-    "dedup_clusters",      # new r3
-    "bfs_distances",       # last green r1
-    "pricing_agg",         # last green r1
-    "topk_per_group",      # last green r1
-    "groupwise_argmax_filter",  # last green r1
-    "complete_graph",      # last green r1
-    "pagerank",            # operator changed r3 (observe-fused superstep)
-    "pagerank_weighted",
-    "label_propagation",   # operator changed r3 (observe-fused superstep)
-    "lpa_weighted",
-    "coloring",            # operator changed r3 (fused round pass)
-    "closest_pair",        # operator changed r3 (degenerate-bbox fix)
-    "farthest_pair",       # operator changed r3 (bounded hull pass)
-    "ann_ivf",             # operator changed r3 (nprobe)
-    "minhash_hot_bucket",  # seed changed r3 (MIN(doc_id))
-    "boundary_vertices",   # new r3
-    "containing_interval",  # new r3
-    "stream_foreach",      # new r3
-]
-_GATE_TAIL = [
-    # greened in r2, untouched in r3 — first candidates to sit a round out
-    "asof_join",
-    "interval_overlap",
-    "json_roundtrip",
-    "binary_roundtrip",
-    "cyclic_lead",
-    "json_extract",
-    "hash_sample",
-    "set_ops",
-    "percentiles",
-    "weighted_median",
-    "event_pivot",
-    "prune_by_bucket",
-]
+# (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
+# rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
+# are ordered stale-first by the last round each one sat inside the gate
+# (tools/gate_state.json, stamped per round by tools/update_gate_state.py).
+# New or operator-changed queries carry no/-1 state and sort to the very
+# front; the freshest greens rotate out for exactly one round. Rotated-out
+# queries are still machine-verified every round by tests/test_gate_tail.py
+# (the round-3 ADVICE backstop), so no query is ever green-by-assumption.
+_GATE_SLOTS = 50
+_GATE_STATE_PATH = os.path.join(os.path.dirname(__file__), "tools", "gate_state.json")
+
+
+def _gate_order(names):
+    try:
+        with open(_GATE_STATE_PATH) as f:
+            last = json.load(f).get("last_gated", {})
+    except Exception:
+        last = {}
+    return sorted(names, key=lambda n: (last.get(n, -1), n))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _base_queries()
-    ordered = {k: base.pop(k) for k in _GATE_FRONT}
-    tail = {k: base.pop(k) for k in _GATE_TAIL}
-    ordered.update(base)
-    ordered.update(tail)
-    return ordered
+    return {k: base[k] for k in _gate_order(base)}
 
 
 def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
