@@ -41,6 +41,7 @@ SF0001 = "/root/testdata/sf0.001"
 MINQ_DENSE = 40
 MINQ_SPARSE = 48
 PR_ITERS = 10
+LAYOUT_ITERS = 3  # gate-scale FR iterations (bench runs the reference's 50)
 LPA_ITERS = 3
 BFS_HOPS = 8
 
@@ -834,6 +835,21 @@ def q_prune_by_bucket(spark, sf_dir):
     )
 
 
+
+def q_layout_fr(spark, sf_dir):
+    """fromGraph force-directed layout graft (PGS_Conversion.java:977-1004:
+    IndexedFRLayoutAlgorithm2D, 50 iterations, seed 1337): FR grid variant
+    over the customer→supplier graph, 3 fixed iterations at gate scale, 6dp
+    positions. The unrolled DuckDB oracle executes the identical program."""
+    from pgs_spark.operators.layout import fr_layout
+
+    e = customer_supplier_edges(spark, sf_dir)
+    res = fr_layout(spark, e, iterations=LAYOUT_ITERS, seed=1337)
+    return res.positions.select(
+        "id", F.round("x", 6).alias("x_r"), F.round("y", 6).alias("y_r")
+    )
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -924,6 +940,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_neighbor": q_nearest_neighbor,
         "complete_graph": q_complete_graph,
         "zorder_index": q_zorder_index,
+        "layout_fr": q_layout_fr,
     }
 
 
@@ -1134,6 +1151,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sym GROUP BY src
         """,
         "pagerank": osql.pagerank_sql(CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS),
+        "layout_fr": __import__(
+            "pgs_spark.operators.layout", fromlist=["fr_layout_sql"]
+        ).fr_layout_sql(CUSTOMER_SUPPLIER_SQL, iterations=LAYOUT_ITERS, seed=1337),
         "pagerank_weighted": osql.pagerank_sql(
             dense_w_sym, iterations=5, weighted=True
         ),

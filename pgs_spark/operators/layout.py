@@ -1,0 +1,263 @@
+"""Force-directed graph layout — Fruchterman-Reingold, grid variant.
+
+Graft of the reference's ``fromGraph`` layout (PGS_Conversion.java:977-1004:
+``IndexedFRLayoutAlgorithm2D<>(50, 0.7, new Random(1337))`` — FR layout, 50
+fixed iterations, seeded RNG, positions scaled into a box). JGraphT's
+"Indexed" variant prunes far-field repulsion with a spatial index; the
+distributed analog here is the GRID VARIANT from the original paper
+(Fruchterman & Reingold, "Graph Drawing by Force-directed Placement", 1991,
+§"grid variant"): bucket vertices into cells of side R = 2k, compute
+repulsion only for pairs in the same or adjacent cells within distance < R —
+a 3×3 equi-join on cell ids (never an all-pairs crossJoin), the exact plan
+shape of `geometric.neighbor_pairs`.
+
+Determinism (the PGS_Conversion.java:1088 discipline): initial positions are
+md5-hash units of (id, seed) — cross-engine exact, so a DuckDB oracle can
+unroll the identical fixed program and must agree position-for-position to
+the rounding precision. Every per-iteration expression (repulsion Δ·k²/d²,
+attraction Δ·d/k, temperature cap, box clamp) is a plain column expression;
+the only cross-engine hazard is float-sum ORDER inside the two groupBy
+aggregations, which is ~1e-16 relative per iteration — far below the 6dp
+output rounding at gate iteration counts.
+
+Scale: per iteration = one 3×3 self-equi-join (shuffle on cell ids; cells
+re-derived each iteration from moving positions) + one edge join + two
+groupBy aggregations. State is (id, x, y) only, snapshotted per iteration
+to off-heap parquet (state.py); no driver-side collect of positions. At 100 TB the repulsion join is the same bucketed-neighbor plan
+the dedup/ANN operators already run at that shape.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.edges import symmetrize
+from pgs_spark.operators.state import make_work_dir, snapshot
+
+#: guard for coincident points in the repulsion denominator (both engines)
+_EPS_D2 = 1e-12
+
+
+def _hash_unit(id_col, axis: str, seed: int):
+    """md5-derived uniform in [0, 1) — bit-exact in Spark and DuckDB
+    (``('0x' || substr(md5(...), 1, 6))::BIGINT`` over there)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(f"|{axis}|{seed}")))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(16777216.0)
+
+
+@dataclass
+class LayoutResult:
+    positions: DataFrame  # (id: long, x: double, y: double) in [0, width]²
+    iterations: int
+    history: list = field(default_factory=list)
+
+
+def fr_layout(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    iterations: int = 50,
+    seed: int = 1337,
+    width: float = 1.0,
+) -> LayoutResult:
+    """Canonical undirected edge table (src, dst) → (id, x, y) positions.
+
+    Fixed-program FR: k = width/√n; repulsion k²/d within R = 2k via the
+    3×3 grid join; attraction d²/k along edges; displacement capped by a
+    linearly cooling temperature t_i = (width/10)·(1 − (i−1)/iterations);
+    positions clamped to [0, width]. Deterministic for a given (graph, seed).
+    """
+    sym = symmetrize(undirected_edges).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct().persist()
+    n = verts.count()
+    m = sym.count()
+    if n == 0:
+        sym.unpersist()
+        verts.unpersist()
+        return LayoutResult(
+            spark.createDataFrame([], "id long, x double, y double"), 0
+        )
+    k = width / float(n) ** 0.5
+    r_cut = 2.0 * k
+
+    default_p = spark.conf.get("spark.sql.shuffle.partitions")
+    round_p = max(8, min(int(default_p), m // 250_000 + 8))
+
+    # Iteration state goes to PARQUET snapshots (state.py), not chained
+    # localCheckpoints: a ~20-deep localCheckpoint chain under this
+    # self-join degrades geometrically (measured ×2.5/iteration past iter
+    # ~18 on Spark 4.1.2 — 0.7s → 113s by iter 23 on a SEVEN-row graph),
+    # while parquet round-trips stay flat for 40+ iterations. Off-heap
+    # state is also the engine's cluster-scale recipe (the 20M-vertex
+    # Full-GC lesson in state.py).
+    work_dir = make_work_dir("pgs_fr_")
+    pos = snapshot(
+        verts.select(
+            "id",
+            (_hash_unit(F.col("id"), "x", seed) * width).alias("x"),
+            (_hash_unit(F.col("id"), "y", seed) * width).alias("y"),
+        ).coalesce(round_p),
+        work_dir,
+        "pos_0",
+    )
+
+    history: list[dict] = []
+    # NOTE: session-global shuffle width for the loop (restored in finally);
+    # same exclusive-session assumption as the other iterative operators.
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    try:
+        for it in range(1, iterations + 1):
+            t = (width / 10.0) * (1.0 - (it - 1) / float(iterations))
+            pos_new = _fr_iteration(sym, pos, k, r_cut, t, width)
+            pos = snapshot(pos_new.coalesce(round_p), work_dir, f"pos_{it % 2}")
+            history.append({"iteration": it, "temperature": t})
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_p)
+    sym.unpersist()
+    verts.unpersist()
+    return LayoutResult(pos, iterations, history)
+
+
+def _fr_iteration(
+    sym: DataFrame, pos: DataFrame, k: float, r_cut: float, t: float, width: float
+) -> DataFrame:
+    """One FR superstep (pure plan — exposed so tests can assert the
+    repulsion join never degrades to a CartesianProduct)."""
+    k2 = k * k
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    cells = pos.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / r_cut).alias("cx"),
+        F.floor(F.col("y") / r_cut).alias("cy"),
+    )
+    probe = cells.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+                for dx, dy in offsets
+            ])
+        ).alias("c"),
+    ).select("id", "x", "y", "c.cx", "c.cy")
+    other = cells.select(
+        F.col("id").alias("oid"), F.col("x").alias("ox"),
+        F.col("y").alias("oy"), "cx", "cy",
+    )
+    dx_ = F.col("x") - F.col("ox")
+    dy_ = F.col("y") - F.col("oy")
+    d2 = F.greatest(dx_ * dx_ + dy_ * dy_, F.lit(_EPS_D2))
+    rep = (
+        probe.join(other, ["cx", "cy"])
+        .filter(F.col("id") != F.col("oid"))
+        .filter(d2 < F.lit(r_cut * r_cut))
+        .groupBy("id")
+        .agg(
+            F.sum(dx_ * F.lit(k2) / d2).alias("rx"),
+            F.sum(dy_ * F.lit(k2) / d2).alias("ry"),
+        )
+    )
+    # attraction: each dart (u, v) pulls u toward v by Δ·d/k
+    # (= unit(Δ)·d²/k; no division — coincident endpoints contribute 0)
+    adx = F.col("x") - F.col("ox")
+    ady = F.col("y") - F.col("oy")
+    ad = F.sqrt(adx * adx + ady * ady)
+    att = (
+        sym.join(pos.select(F.col("id").alias("src"), "x", "y"), "src")
+        .join(
+            pos.select(
+                F.col("id").alias("dst"),
+                F.col("x").alias("ox"),
+                F.col("y").alias("oy"),
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.sum(-adx * ad / F.lit(k)).alias("ax"),
+            F.sum(-ady * ad / F.lit(k)).alias("ay"),
+        )
+    )
+    disp = (
+        pos.join(rep, "id", "left")
+        .join(att, "id", "left")
+        .select(
+            "id", "x", "y",
+            (F.coalesce("rx", F.lit(0.0)) + F.coalesce("ax", F.lit(0.0))).alias("dx"),
+            (F.coalesce("ry", F.lit(0.0)) + F.coalesce("ay", F.lit(0.0))).alias("dy"),
+        )
+    )
+    dlen = F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
+    scale = F.when(dlen > F.lit(t), F.lit(t) / dlen).otherwise(F.lit(1.0))
+    return disp.select(
+        "id",
+        F.least(F.greatest(F.col("x") + F.col("dx") * scale, F.lit(0.0)), F.lit(width)).alias("x"),
+        F.least(F.greatest(F.col("y") + F.col("dy") * scale, F.lit(0.0)), F.lit(width)).alias("y"),
+    )
+
+
+def fr_layout_sql(
+    edges_sql: str, iterations: int, seed: int = 1337, width: float = 1.0
+) -> str:
+    """Unrolled DuckDB oracle: the identical fixed-program FR recurrence
+    (same grid cells, same cutoff, same cap/clamp; 6dp output rounding)."""
+
+    def unit(axis: str) -> str:
+        return (
+            f"(('0x' || substr(md5(CAST(id AS VARCHAR) || '|{axis}|{seed}'), 1, 6))::BIGINT"
+            f" / 16777216.0) * {width!r}"
+        )
+
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e "
+        "UNION ALL SELECT dst, src FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+        "cst AS MATERIALIZED (SELECT "
+        f"{width!r} / sqrt(COUNT(*)) AS k, "
+        f"2.0 * {width!r} / sqrt(COUNT(*)) AS rc "
+        "FROM verts)",
+        f"p0 AS MATERIALIZED (SELECT id, {unit('x')} AS x, {unit('y')} AS y FROM verts)",
+    ]
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        t = repr((width / 10.0) * (1.0 - (i - 1) / float(iterations)))
+        parts += [
+            f"cell{i} AS MATERIALIZED (SELECT p.id, p.x, p.y, "
+            f"floor(p.x / c.rc) AS cx, floor(p.y / c.rc) AS cy "
+            f"FROM {prev} p CROSS JOIN cst c)",
+            f"rep{i} AS (SELECT a.id, "
+            "SUM((a.x - b.x) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12)) AS rx, "
+            "SUM((a.y - b.y) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12)) AS ry "
+            f"FROM cell{i} a JOIN cell{i} b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+            "AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 AND a.id <> b.id "
+            "CROSS JOIN cst c "
+            "WHERE greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12) < c.rc * c.rc "
+            "GROUP BY a.id)",
+            f"att{i} AS (SELECT a.id, "
+            "SUM(-(a.x - b.x) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k) AS ax, "
+            "SUM(-(a.y - b.y) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k) AS ay "
+            f"FROM sym s JOIN {prev} a ON s.u = a.id JOIN {prev} b ON s.v = b.id "
+            "CROSS JOIN cst c GROUP BY a.id)",
+            f"d{i} AS (SELECT p.id, p.x, p.y, "
+            f"COALESCE(r.rx, 0.0) + COALESCE(a.ax, 0.0) AS dx, "
+            f"COALESCE(r.ry, 0.0) + COALESCE(a.ay, 0.0) AS dy "
+            f"FROM {prev} p LEFT JOIN rep{i} r ON p.id = r.id "
+            f"LEFT JOIN att{i} a ON p.id = a.id)",
+            f"p{i} AS MATERIALIZED (SELECT id, "
+            f"least(greatest(x + dx * (CASE WHEN sqrt(dx*dx + dy*dy) > {t} "
+            f"THEN {t} / sqrt(dx*dx + dy*dy) ELSE 1.0 END), 0.0), {width!r}) AS x, "
+            f"least(greatest(y + dy * (CASE WHEN sqrt(dx*dx + dy*dy) > {t} "
+            f"THEN {t} / sqrt(dx*dx + dy*dy) ELSE 1.0 END), 0.0), {width!r}) AS y "
+            f"FROM d{i})",
+        ]
+        prev = f"p{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(x, 6) AS x_r, ROUND(y, 6) AS y_r FROM {prev}"
+    )

@@ -1,0 +1,69 @@
+"""FR layout: determinism, box invariant, and plan shape (SURVEY §2.9 family).
+
+Reference parity: PGS_Conversion.fromGraph (PGS_Conversion.java:977-1004)
+runs IndexedFRLayoutAlgorithm2D for 50 seeded iterations; the engine's grid
+variant is the distributed analog. Correctness vs the unrolled DuckDB oracle
+is gated by verify_entry/CORRECTNESS (query `layout_fr`)."""
+
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.layout import _fr_iteration, fr_layout
+from pgs_spark.plans.explain import plan_string
+from tests.conftest import TWO_CLIQUES, edges_df
+from tests.oracles import random_graph
+
+
+def test_layout_deterministic_and_bounded(spark):
+    e = edges_df(spark, random_graph(40, 0.1, seed=5))
+    a = fr_layout(spark, e, iterations=4, seed=1337)
+    b = fr_layout(spark, e, iterations=4, seed=1337)
+    pa = {r["id"]: (r["x"], r["y"]) for r in a.positions.collect()}
+    pb = {r["id"]: (r["x"], r["y"]) for r in b.positions.collect()}
+    assert pa == pb  # bit-identical across runs
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in pa.values())
+    assert a.iterations == 4 and len(a.history) == 4
+
+
+def test_layout_seed_changes_positions(spark):
+    e = edges_df(spark, TWO_CLIQUES)
+    a = fr_layout(spark, e, iterations=2, seed=1337)
+    b = fr_layout(spark, e, iterations=2, seed=42)
+    pa = {r["id"]: (r["x"], r["y"]) for r in a.positions.collect()}
+    pb = {r["id"]: (r["x"], r["y"]) for r in b.positions.collect()}
+    assert pa != pb
+
+
+def test_layout_separates_cliques(spark):
+    """Two disconnected cliques repel: the mean intra-clique distance after
+    layout is smaller than the distance between the clique centroids."""
+    res = fr_layout(spark, edges_df(spark, TWO_CLIQUES), iterations=30)
+    pos = {r["id"]: (r["x"], r["y"]) for r in res.positions.collect()}
+    c1 = [pos[i] for i in pos if i < 10]
+    c2 = [pos[i] for i in pos if i >= 10]
+
+    def centroid(ps):
+        return (sum(p[0] for p in ps) / len(ps), sum(p[1] for p in ps) / len(ps))
+
+    def spread(ps):
+        cx, cy = centroid(ps)
+        return sum(((p[0] - cx) ** 2 + (p[1] - cy) ** 2) ** 0.5 for p in ps) / len(ps)
+
+    (x1, y1), (x2, y2) = centroid(c1), centroid(c2)
+    between = ((x1 - x2) ** 2 + (y1 - y2) ** 2) ** 0.5
+    assert between > max(spread(c1), spread(c2))
+
+
+def test_layout_iteration_plan_no_cartesian(spark):
+    """The repulsion pass must stay a bucketed equi-join — a CartesianProduct
+    here is the all-pairs O(n²) plan the grid variant exists to avoid."""
+    e = edges_df(spark, TWO_CLIQUES)
+    from pgs_spark.operators.edges import symmetrize
+
+    sym = symmetrize(e)
+    pos = sym.select(F.col("src").alias("id")).distinct().select(
+        "id", F.rand(1).alias("x"), F.rand(2).alias("y")
+    )
+    step = _fr_iteration(sym, pos, k=0.2, r_cut=0.4, t=0.1, width=1.0)
+    plan = plan_string(step)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
