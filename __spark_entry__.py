@@ -862,6 +862,23 @@ def q_spanner(spark, sf_dir):
     return baswana_sen_spanner(spark, e, k=2, seed=7).edges
 
 
+
+def q_spiral_order(spark, sf_dir):
+    """spiralSortFaces composition (PGS_Optimisation.java:1098,
+    commons/SpiralIterator.java:16-64): BFS rings from the minimum point id
+    over the distance-threshold graph of the embedding points, within-ring
+    polar angle about the ring centroid, one global (ring, angle) order."""
+    from pgs_spark.operators.geometric import neighbor_pairs
+    from pgs_spark.operators.traversal import spiral_order
+
+    pts = _points2d(spark, sf_dir).persist()
+    edges = neighbor_pairs(pts, GEO_RADIUS).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    source = pts.agg(F.min("id")).first()[0]
+    return spiral_order(spark, edges, pts, int(source))
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -954,6 +971,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_index": q_zorder_index,
         "layout_fr": q_layout_fr,
         "spanner": q_spanner,
+        "spiral_order": q_spiral_order,
     }
 
 
@@ -1140,6 +1158,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, ROUND(d, 6) AS dist FROM s ORDER BY d DESC, a, b LIMIT 1
         """,
         "gabriel_edges": _geo_sql("gabriel"),
+        "spiral_order": __import__(
+            "pgs_spark.operators.traversal", fromlist=["spiral_order_sql"]
+        ).spiral_order_sql(PAIR_POINTS_SQL, GEO_RADIUS),
         "rng_edges": _geo_sql("rng"),
         "kmeans": __import__(
             "pgs_spark.operators.kmeans", fromlist=["kmeans_sql"]

@@ -47,3 +47,93 @@ def bfs_distances(
             break
     sym.unpersist()
     return visited
+
+
+def spiral_order(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    positions: DataFrame,
+    source: int,
+    max_hops: int = 20,
+) -> DataFrame:
+    """Spiral emission order — the composed spiralSortFaces operator
+    (PGS_Optimisation.java:1098; commons/SpiralIterator.java:16-64: BFS rings
+    from a seed + per-ring angular sweep): ring = BFS distance from `source`,
+    within-ring order = polar angle about the RING's centroid, global rank =
+    (ring, angle, id) lexicographic.
+
+    → (id, ring, angle_r, spiral_rank) for every vertex reachable within
+    `max_hops`; positions is (id, x, y).
+
+    Scale: the within-ring sort is a window PARTITIONED BY ring (distributed
+    across rings; one giant ring degrades to that ring's single sort task —
+    the same total-order the reference's iterator implies); the cross-ring
+    offset table is |rings| rows, joined back broadcast-size. No global
+    single-partition window.
+    """
+    from pyspark.sql import Window
+
+    rings = bfs_distances(spark, undirected_edges, source, max_hops=max_hops)
+    pts = rings.join(positions, "id")
+    cent = pts.groupBy("dist").agg(F.avg("x").alias("cx"), F.avg("y").alias("cy"))
+    ang = pts.join(cent, "dist").select(
+        "id",
+        F.col("dist").alias("ring"),
+        F.atan2(F.col("y") - F.col("cy"), F.col("x") - F.col("cx")).alias("angle"),
+    )
+    w_ring = Window.partitionBy("ring").orderBy("angle", "id")
+    within = ang.withColumn("pos_in_ring", F.row_number().over(w_ring))
+    w_off = Window.orderBy("ring").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        within.groupBy("ring")
+        .agg(F.count("*").alias("sz"))
+        .select("ring", F.coalesce(F.sum("sz").over(w_off), F.lit(0)).alias("off"))
+    )
+    return within.join(offsets, "ring").select(
+        "id",
+        "ring",
+        F.round("angle", 6).alias("angle_r"),
+        (F.col("off") + F.col("pos_in_ring")).cast("long").alias("spiral_rank"),
+    )
+
+
+def spiral_order_sql(points_sql: str, radius: float, max_hops: int = 20) -> str:
+    """DuckDB oracle for `spiral_order` over the distance-threshold graph of
+    `points_sql` (id, x, y), source = MIN(id) — the identical fixed program:
+    same strict d² < r² edge predicate, BFS cap, centroid, atan2, ranks."""
+    r2 = repr(float(radius) * float(radius))
+    return f"""
+WITH RECURSIVE pts AS MATERIALIZED ({points_sql}),
+e AS MATERIALIZED (
+    SELECT a.id AS u, b.id AS v FROM pts a JOIN pts b ON a.id <> b.id
+    AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) < {r2}
+),
+walk(id, dist) AS (
+    SELECT (SELECT MIN(id) FROM pts), 0
+    UNION
+    SELECT e.v, w.dist + 1 FROM e JOIN walk w ON e.u = w.id WHERE w.dist < {max_hops}
+),
+rings AS MATERIALIZED (SELECT id, CAST(MIN(dist) AS INT) AS ring FROM walk GROUP BY id),
+pr AS MATERIALIZED (
+    SELECT r.id, r.ring, p.x, p.y FROM rings r JOIN pts p ON r.id = p.id
+),
+cent AS (SELECT ring, AVG(x) AS cx, AVG(y) AS cy FROM pr GROUP BY ring),
+ang AS (
+    SELECT pr.id, pr.ring, atan2(pr.y - c.cy, pr.x - c.cx) AS angle
+    FROM pr JOIN cent c ON pr.ring = c.ring
+),
+rk AS (
+    SELECT id, ring, angle,
+           ROW_NUMBER() OVER (PARTITION BY ring ORDER BY angle, id) AS pos_in_ring
+    FROM ang
+),
+off AS (
+    SELECT ring,
+           COALESCE(SUM(CAST(sz AS BIGINT)) OVER (ORDER BY ring
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+    FROM (SELECT ring, COUNT(*) AS sz FROM rk GROUP BY ring)
+)
+SELECT r.id, r.ring, ROUND(r.angle, 6) AS angle_r,
+       CAST(f.o + r.pos_in_ring AS BIGINT) AS spiral_rank
+FROM rk r JOIN off f ON r.ring = f.ring
+"""

@@ -81,3 +81,33 @@ def test_boundary_vertices_flag(spark):
     )
     got = {r["id"]: r["is_boundary"] for r in boundary_vertices(we).collect()}
     assert got == {0: False, 1: True, 2: True, 3: False}
+
+
+def test_spiral_order_known_rings(spark):
+    """SpiralIterator composition (commons/SpiralIterator.java:16-64): center,
+    then ring 1 swept by angle, then ring 2 — rank is (ring, angle, id)."""
+    from pyspark.sql import functions as F
+
+    from pgs_spark.operators.traversal import spiral_order
+
+    # star center 0 at origin; ring-1 at four compass points; ring-2 beyond
+    pts = spark.createDataFrame(
+        [
+            (0, 0.0, 0.0),
+            (1, 1.0, 0.0),    # angle 0 about ring-1 centroid (origin)
+            (2, 0.0, 1.0),    # pi/2
+            (3, -1.0, 0.0),   # pi
+            (4, 0.0, -1.0),   # -pi/2
+            (5, 2.0, 0.0),    # ring 2 (single point)
+        ],
+        "id long, x double, y double",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 5)], "src long, dst long"
+    )
+    got = {
+        r["id"]: (r["ring"], r["spiral_rank"])
+        for r in spiral_order(spark, edges, pts, source=0).collect()
+    }
+    # ring-1 centroid is the origin → angle order: 4 (-pi/2), 1 (0), 2 (pi/2), 3 (pi)
+    assert got == {0: (0, 1), 4: (1, 2), 1: (1, 3), 2: (1, 4), 3: (1, 5), 5: (2, 6)}
