@@ -148,6 +148,20 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         lambda: pagerank(spark, cs, fixed_iterations=10).ranks.count(),
     )
 
+    # round-4 operators: FR layout at the reference's 50 iterations
+    # (PGS_Conversion.java:977-1004) and the Baswana-Sen 3-spanner.
+    from pgs_spark.operators.layout import fr_layout
+    from pgs_spark.operators.spanner import baswana_sen_spanner
+
+    timed(
+        "layout_fr_50it",
+        lambda: fr_layout(spark, cs, iterations=50, seed=1337).positions.count(),
+    )
+    extra["spanner_edges"] = timed(
+        "spanner_k2",
+        lambda: baswana_sen_spanner(spark, cop_sparse, k=2, seed=7).edges.count(),
+    )
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -162,6 +176,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         lambda: minhash_candidates(docs, stats_out=lsh_stats).count(),
     )
     extra["minhash_bucket_capping"] = lsh_stats
+
+    # production-width MinHash (64 perms, 4-row bands — the width a real
+    # dedup pipeline runs; the 8-hash entry above is the demo/gate width).
+    # Recorded: signature-build+banding throughput and candidate volume, so
+    # the width/precision trade is measured rather than assumed.
+    wide_stats: dict = {}
+    extra["minhash_pairs_w64"] = timed(
+        "dedup_minhash_lsh_w64",
+        lambda: minhash_candidates(
+            docs, n_hashes=64, band_size=4, stats_out=wide_stats
+        ).count(),
+    )
+    extra["minhash_bucket_capping_w64"] = wide_stats
 
     from pgs_spark.operators.dedup import simhash_candidates
 
@@ -185,7 +212,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         (r["query_id"], r["neighbor_id"]) for r in truth_df["t"].collect()
     }
     recall = {}
-    for np_ in (1, 2):
+    for np_ in (1, 2, 3):
         name = f"ann_ivf_nprobe{np_}"
         got_box = {}
         timed(
@@ -202,6 +229,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         )
         recall[f"nprobe_{np_}"] = round(len(truth & got_box["g"]) / len(truth), 4)
     extra["ann_ivf_recall_at_5"] = recall
+    # recall target (round-3 VERDICT #4): recall@5 >= 0.9 and the config
+    # that buys it — measured every round right here, sweep in BASELINE.md
+    extra["ann_ivf_recall_target"] = {
+        "target": 0.9,
+        "config": {"n_clusters": 4, "iterations": 2, "nprobe": 3},
+        "achieved": recall.get("nprobe_3"),
+    }
     truth_df["t"].unpersist()
     qs.unpersist()
     timed("kmeans_2it", lambda: kmeans_assign(emb, k=4, iterations=2).count())

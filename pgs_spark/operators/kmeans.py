@@ -61,12 +61,17 @@ def kmeans_fit(
                 F.sum((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("dist2")
             )
         )
-        w_min = d2.groupBy("vec_id").agg(F.min("dist2").alias("m"))
+        # ONE-PASS argmin: min(struct(dist2, c)) == "min dist2, ties to min
+        # c". The former two-pass form (min-per-vec_id then a dist2 == m
+        # equality join) evaluated the float aggregate TWICE — shuffle merge
+        # order differs between evaluations, the last-ulp mismatch fails the
+        # equality, and the vec_id silently drops; compounded per Lloyd step
+        # this emptied the whole assignment by iteration 5 (found via the
+        # round-4 IVF recall sweep reading 0.000).
         assign = (
-            d2.join(w_min, "vec_id")
-            .filter(F.col("dist2") == F.col("m"))
-            .groupBy("vec_id")
-            .agg(F.min("c").alias("cluster"))
+            d2.groupBy("vec_id")
+            .agg(F.min(F.struct("dist2", "c")).alias("s"))
+            .select("vec_id", F.col("s.c").alias("cluster"))
         )
         cent = (
             assign.join(dims, "vec_id")
@@ -74,7 +79,16 @@ def kmeans_fit(
             .agg(F.avg("val").alias("cval"))
         )
     out = assign.select("vec_id", "cluster").localCheckpoint(eager=True)
-    cent_out = cent.select("c", "i", "cval").localCheckpoint(eager=True)
+    # centroids FROM the checkpointed final assignment (same formula as the
+    # loop's last step) — guarantees centroid labels are exactly the labels
+    # the returned assignment uses, even under nondeterministic re-evaluation
+    cent_out = (
+        out.join(dims, "vec_id")
+        .groupBy(F.col("cluster").alias("c"), "i")
+        .agg(F.avg("val").alias("cval"))
+        .select("c", "i", "cval")
+        .localCheckpoint(eager=True)
+    )
     dims.unpersist()  # long-lived sessions must not accumulate cached state
     return out, cent_out
 

@@ -142,3 +142,19 @@ def test_dedup_keep_list_end_to_end(spark, docs):
 
     got = {r["doc_id"]: r["keep_id"] for r in dedup_keep_list(spark, docs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_kmeans_deep_iterations_keep_all_rows(spark):
+    """Round-4 regression: the two-pass float-equality argmin dropped rows
+    under lazy re-evaluation (assignment EMPTY by iteration 5). The one-pass
+    struct-min must keep every vector assigned at any iteration depth."""
+    from pgs_spark.operators.kmeans import kmeans_fit
+    from pgs_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    assign, cent = kmeans_fit(emb, k=8, iterations=5)
+    assert assign.count() == n
+    a_labels = {r["cluster"] for r in assign.select("cluster").distinct().collect()}
+    c_labels = {r["c"] for r in cent.select("c").distinct().collect()}
+    assert a_labels == c_labels  # centroids exactly cover assignment labels
