@@ -69,12 +69,11 @@ def fr_layout(
     linearly cooling temperature t_i = (width/10)·(1 − (i−1)/iterations);
     positions clamped to [0, width]. Deterministic for a given (graph, seed).
     """
-    sym = symmetrize(undirected_edges).persist()
-    verts = sym.select(F.col("src").alias("id")).distinct().persist()
+    sym0 = symmetrize(undirected_edges)
+    verts = sym0.select(F.col("src").alias("id")).distinct().persist()
     n = verts.count()
-    m = sym.count()
+    m = sym0.count()
     if n == 0:
-        sym.unpersist()
         verts.unpersist()
         return LayoutResult(
             spark.createDataFrame([], "id long, x double, y double"), 0
@@ -84,6 +83,10 @@ def fr_layout(
 
     default_p = spark.conf.get("spark.sql.shuffle.partitions")
     round_p = max(8, min(int(default_p), m // 250_000 + 8))
+    # width the persisted dart table like the round shuffles: the attraction
+    # scan touches it every superstep, and 64 near-empty partitions are pure
+    # task-launch overhead on a small graph (the coloring lesson)
+    sym = sym0.repartition(round_p).persist()
 
     # Iteration state goes to PARQUET snapshots (state.py), not chained
     # localCheckpoints: a ~20-deep localCheckpoint chain under this
@@ -104,9 +107,14 @@ def fr_layout(
     )
 
     history: list[dict] = []
-    # NOTE: session-global shuffle width for the loop (restored in finally);
-    # same exclusive-session assumption as the other iterative operators.
+    # NOTE: session-global shuffle width + AQE off for the loop (restored in
+    # finally; same exclusive-session assumption as the other iterative
+    # operators). AQE's per-exchange re-planning adds jobs/stages to every
+    # superstep — pure overhead on a fixed-shape tiny-state loop; the static
+    # planner already broadcasts the position side via the 64MB threshold.
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for it in range(1, iterations + 1):
             t = (width / 10.0) * (1.0 - (it - 1) / float(iterations))
@@ -115,6 +123,7 @@ def fr_layout(
             history.append({"iteration": it, "temperature": t})
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_p)
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
     sym.unpersist()
     verts.unpersist()
     return LayoutResult(pos, iterations, history)
@@ -124,7 +133,12 @@ def _fr_iteration(
     sym: DataFrame, pos: DataFrame, k: float, r_cut: float, t: float, width: float
 ) -> DataFrame:
     """One FR superstep (pure plan — exposed so tests can assert the
-    repulsion join never degrades to a CartesianProduct)."""
+    repulsion join never degrades to a CartesianProduct).
+
+    Repulsion and attraction contributions UNION into one (id, fx, fy)
+    relation summed by a single groupBy — one shuffle + one join per
+    superstep instead of two of each (the driver-loop-latency recipe; the
+    oracle mirrors the same summation tree)."""
     k2 = k * k
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     cells = pos.select(
@@ -151,14 +165,14 @@ def _fr_iteration(
     dx_ = F.col("x") - F.col("ox")
     dy_ = F.col("y") - F.col("oy")
     d2 = F.greatest(dx_ * dx_ + dy_ * dy_, F.lit(_EPS_D2))
-    rep = (
+    rep_rows = (
         probe.join(other, ["cx", "cy"])
         .filter(F.col("id") != F.col("oid"))
         .filter(d2 < F.lit(r_cut * r_cut))
-        .groupBy("id")
-        .agg(
-            F.sum(dx_ * F.lit(k2) / d2).alias("rx"),
-            F.sum(dy_ * F.lit(k2) / d2).alias("ry"),
+        .select(
+            "id",
+            (dx_ * F.lit(k2) / d2).alias("fx"),
+            (dy_ * F.lit(k2) / d2).alias("fy"),
         )
     )
     # attraction: each dart (u, v) pulls u toward v by Δ·d/k
@@ -166,7 +180,7 @@ def _fr_iteration(
     adx = F.col("x") - F.col("ox")
     ady = F.col("y") - F.col("oy")
     ad = F.sqrt(adx * adx + ady * ady)
-    att = (
+    att_rows = (
         sym.join(pos.select(F.col("id").alias("src"), "x", "y"), "src")
         .join(
             pos.select(
@@ -176,24 +190,25 @@ def _fr_iteration(
             ),
             "dst",
         )
-        .groupBy(F.col("src").alias("id"))
-        .agg(
-            F.sum(-adx * ad / F.lit(k)).alias("ax"),
-            F.sum(-ady * ad / F.lit(k)).alias("ay"),
+        .select(
+            F.col("src").alias("id"),
+            (-adx * ad / F.lit(k)).alias("fx"),
+            (-ady * ad / F.lit(k)).alias("fy"),
         )
     )
     disp = (
-        pos.join(rep, "id", "left")
-        .join(att, "id", "left")
-        .select(
-            "id", "x", "y",
-            (F.coalesce("rx", F.lit(0.0)) + F.coalesce("ax", F.lit(0.0))).alias("dx"),
-            (F.coalesce("ry", F.lit(0.0)) + F.coalesce("ay", F.lit(0.0))).alias("dy"),
-        )
+        rep_rows.union(att_rows)
+        .groupBy("id")
+        .agg(F.sum("fx").alias("dx"), F.sum("fy").alias("dy"))
+    )
+    moved = pos.join(disp, "id", "left").select(
+        "id", "x", "y",
+        F.coalesce("dx", F.lit(0.0)).alias("dx"),
+        F.coalesce("dy", F.lit(0.0)).alias("dy"),
     )
     dlen = F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
     scale = F.when(dlen > F.lit(t), F.lit(t) / dlen).otherwise(F.lit(1.0))
-    return disp.select(
+    return moved.select(
         "id",
         F.least(F.greatest(F.col("x") + F.col("dx") * scale, F.lit(0.0)), F.lit(width)).alias("x"),
         F.least(F.greatest(F.col("y") + F.col("dy") * scale, F.lit(0.0)), F.lit(width)).alias("y"),
@@ -230,24 +245,26 @@ def fr_layout_sql(
             f"cell{i} AS MATERIALIZED (SELECT p.id, p.x, p.y, "
             f"floor(p.x / c.rc) AS cx, floor(p.y / c.rc) AS cy "
             f"FROM {prev} p CROSS JOIN cst c)",
-            f"rep{i} AS (SELECT a.id, "
-            "SUM((a.x - b.x) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12)) AS rx, "
-            "SUM((a.y - b.y) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12)) AS ry "
+            # one UNION of repulsion + attraction contributions, one SUM —
+            # the same summation tree as the engine's fused groupBy
+            f"contrib{i} AS (SELECT id, SUM(fx) AS dx, SUM(fy) AS dy FROM ("
+            "SELECT a.id, "
+            "(a.x - b.x) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12) AS fx, "
+            "(a.y - b.y) * c.k * c.k / greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12) AS fy "
             f"FROM cell{i} a JOIN cell{i} b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
             "AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 AND a.id <> b.id "
             "CROSS JOIN cst c "
             "WHERE greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), 1e-12) < c.rc * c.rc "
-            "GROUP BY a.id)",
-            f"att{i} AS (SELECT a.id, "
-            "SUM(-(a.x - b.x) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k) AS ax, "
-            "SUM(-(a.y - b.y) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k) AS ay "
+            "UNION ALL "
+            "SELECT a.id, "
+            "-(a.x - b.x) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k AS fx, "
+            "-(a.y - b.y) * sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) / c.k AS fy "
             f"FROM sym s JOIN {prev} a ON s.u = a.id JOIN {prev} b ON s.v = b.id "
-            "CROSS JOIN cst c GROUP BY a.id)",
+            "CROSS JOIN cst c"
+            ") GROUP BY id)",
             f"d{i} AS (SELECT p.id, p.x, p.y, "
-            f"COALESCE(r.rx, 0.0) + COALESCE(a.ax, 0.0) AS dx, "
-            f"COALESCE(r.ry, 0.0) + COALESCE(a.ay, 0.0) AS dy "
-            f"FROM {prev} p LEFT JOIN rep{i} r ON p.id = r.id "
-            f"LEFT JOIN att{i} a ON p.id = a.id)",
+            f"COALESCE(s.dx, 0.0) AS dx, COALESCE(s.dy, 0.0) AS dy "
+            f"FROM {prev} p LEFT JOIN contrib{i} s ON p.id = s.id)",
             f"p{i} AS MATERIALIZED (SELECT id, "
             f"least(greatest(x + dx * (CASE WHEN sqrt(dx*dx + dy*dy) > {t} "
             f"THEN {t} / sqrt(dx*dx + dy*dy) ELSE 1.0 END), 0.0), {width!r}) AS x, "

@@ -14,12 +14,22 @@ from tests.oracles import random_graph
 
 
 def test_layout_deterministic_and_bounded(spark):
+    """Reproducible to float-summation noise: shuffle merge order is
+    nondeterministic, so the per-vertex force sums differ in the last ulps
+    between any two runs (the test_pagerank resume-test convention); 1e-12
+    is ~6 orders below the 6dp gate rounding."""
+    import numpy as np
+
     e = edges_df(spark, random_graph(40, 0.1, seed=5))
     a = fr_layout(spark, e, iterations=4, seed=1337)
     b = fr_layout(spark, e, iterations=4, seed=1337)
     pa = {r["id"]: (r["x"], r["y"]) for r in a.positions.collect()}
     pb = {r["id"]: (r["x"], r["y"]) for r in b.positions.collect()}
-    assert pa == pb  # bit-identical across runs
+    assert set(pa) == set(pb)
+    ids = sorted(pa)
+    assert np.allclose(
+        [pa[i] for i in ids], [pb[i] for i in ids], atol=1e-12, rtol=0
+    )
     assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in pa.values())
     assert a.iterations == 4 and len(a.history) == 4
 
