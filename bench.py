@@ -260,8 +260,25 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     }
     # Durable copy: the driver records only a bounded stdout tail, and round
     # 2's scaling blob pushed the headline JSON line out of it — the per-round
-    # artifact must survive regardless of tail size.
+    # artifact must survive regardless of tail size. Non-default scale
+    # factors (the 10x scale-exponent runs) additionally land in
+    # headline_sf<sf>.json, and every run embeds the other scale factors'
+    # sibling files under "sf_runs" so headline.json carries BOTH scales.
     os.makedirs(bench_dir, exist_ok=True)
+    sf = result["sf"]
+    with open(os.path.join(bench_dir, f"headline_sf{sf}.json"), "w") as f:
+        json.dump(result, f)
+    sf_runs = {}
+    for fname in sorted(os.listdir(bench_dir)):
+        if fname.startswith("headline_sf") and fname.endswith(".json"):
+            with open(os.path.join(bench_dir, fname)) as f:
+                run = json.load(f)
+            sf_runs[str(run.get("sf"))] = {
+                "queries": run.get("queries"),
+                "value": run.get("value"),
+                **{k: v for k, v in run.items() if k.startswith(("ann_ivf", "pagerank_superstep", "edges_per", "minhash", "spanner", "coloring_rounds"))},
+            }
+    result["sf_runs"] = sf_runs
     with open(os.path.join(bench_dir, "headline.json"), "w") as f:
         json.dump(result, f)
     return result
