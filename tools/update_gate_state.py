@@ -2,11 +2,15 @@
 (the ones the driver's correctness gate will verify) get last_gated = ROUND.
 
 Usage:
-  python tools/update_gate_state.py --round 4            # stamp gated slots
+  python tools/update_gate_state.py --round N            # stamp gated slots
   python tools/update_gate_state.py --touch q1 q2 ...    # force to the front
                                                          # (operator changed)
-Run --touch when an operator changes, --round once the round's queries() is
-final — the next round's ordering then rotates stalest-first automatically.
+
+TIMING MATTERS: the driver verifies the first 50 of the ordering as
+COMMITTED at round end, so run `--round N` at the START of round N+1 (it
+records what round N's driver just gated), BEFORE any --touch edits for the
+new round. Stamping mid-round would reorder queries() out from under the
+stamp and record a set the driver never ran.
 """
 
 from __future__ import annotations
