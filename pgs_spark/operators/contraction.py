@@ -51,6 +51,7 @@ def merge_to_k(
     max_rounds: int = 10,
     fixed_rounds: int | None = None,
     jumps: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> MergeToKResult:
     """Contract a canonical undirected edge table to ~k vertex groups.
 
@@ -82,18 +83,42 @@ def merge_to_k(
             return df.coalesce(round_p).localCheckpoint(eager=True)
         return snapshot(df, work_dir, name)
 
-    groups = _snap(verts.select("id", F.col("id").alias("g")), "g_0")
-    # Group-level edge table, CONTRACTED each round: round r's group
-    # adjacency is the image of round r-1's group edges under the merge
-    # mapping (transitivity of contraction), so later rounds join a
-    # monotonically SHRINKING relation instead of re-joining the full
-    # vertex-level edge table against groups every round.
-    gedges = _snap(
-        edges.select(F.col("src").alias("ga"), F.col("dst").alias("gb")), "ge_0"
-    )
+    # Durable mode (checkpoint_dir): the round state is the PAIR
+    # (groups, gedges); gedges is saved with suffix "e" and its manifest —
+    # written last, carrying groups_path + n_groups — supersedes the plain
+    # one, so resume_point() hands back gedges and the metrics locate groups.
+    cp = None
+    start_round = 0
+    resumed = None
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            f"{fingerprint_edges(undirected_edges)}|k={k}|jumps={jumps}",
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()
+        else:
+            start_round, gedges, mm = rp
+            groups = spark.read.parquet(mm["groups_path"])
+            n_groups = int(mm["n_groups"])
+            resumed = mm
+    if resumed is None:
+        groups = _snap(verts.select("id", F.col("id").alias("g")), "g_0")
+        # Group-level edge table, CONTRACTED each round: round r's group
+        # adjacency is the image of round r-1's group edges under the merge
+        # mapping (transitivity of contraction), so later rounds join a
+        # monotonically SHRINKING relation instead of re-joining the full
+        # vertex-level edge table against groups every round.
+        gedges = _snap(
+            edges.select(F.col("src").alias("ga"), F.col("dst").alias("gb")), "ge_0"
+        )
+        n_groups = groups.select("g").distinct().count()
     history: list[dict] = []
-    n_groups = groups.select("g").distinct().count()
-    rounds = 0
+    rounds = start_round
     limit = fixed_rounds if fixed_rounds is not None else max_rounds
     # NOTE: this mutates the SESSION-global shuffle width for the duration of
     # the loop (restored in finally). The iterative operators assume exclusive
@@ -103,7 +128,7 @@ def merge_to_k(
     # escapes with the narrow width.
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     try:
-        for r in range(1, limit + 1):
+        for r in range(start_round + 1, limit + 1):
             if fixed_rounds is None and n_groups <= k:
                 break
             sizes = groups.groupBy("g").agg(F.count("*").alias("sz"))
@@ -138,15 +163,12 @@ def merge_to_k(
                 mapping = mapping.join(nxt, "tgt").select(
                     "g", F.col("tgt2").alias("tgt")
                 )
-            groups = _snap(
-                groups.join(mapping, groups.g == mapping.g).select(
-                    "id", F.col("tgt").alias("g")
-                ),
-                f"g_{r % 2}",
+            new_groups = groups.join(mapping, groups.g == mapping.g).select(
+                "id", F.col("tgt").alias("g")
             )
             ma = mapping.select(F.col("g").alias("ga"), F.col("tgt").alias("ta"))
             mb = mapping.select(F.col("g").alias("gb"), F.col("tgt").alias("tb"))
-            gedges = _snap(
+            new_gedges = (
                 gedges.join(ma, "ga")
                 .join(mb, "gb")
                 .select(
@@ -154,14 +176,33 @@ def merge_to_k(
                     F.greatest("ta", "tb").alias("gb"),
                 )
                 .filter(F.col("ga") != F.col("gb"))
-                .distinct(),
-                f"ge_{r % 2}",
+                .distinct()
             )
+            if cp is not None:
+                groups = cp.save(new_groups, r, lineage=False)
+                if fixed_rounds is None:
+                    n_groups = groups.select("g").distinct().count()
+                gedges = cp.save(
+                    new_gedges,
+                    r,
+                    suffix="e",
+                    metrics={
+                        "groups_path": groups._pgs_snapshot_path,
+                        "n_groups": n_groups,
+                        "converged": fixed_rounds is None and n_groups <= k,
+                    },
+                    lineage=False,
+                )
+                _gc_orphan_states(cp)
+            else:
+                groups = _snap(new_groups, f"g_{r % 2}")
+                gedges = _snap(new_gedges, f"ge_{r % 2}")
+                if fixed_rounds is None:
+                    # stop test costs one distinct-count per round — skipped
+                    # in fixed-round (oracle) mode
+                    n_groups = groups.select("g").distinct().count()
             rounds = r
             if fixed_rounds is None:
-                # stop test costs one distinct-count per round — skipped in
-                # fixed-round (oracle) mode
-                n_groups = groups.select("g").distinct().count()
                 history.append({"round": r, "n_groups": n_groups})
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_p)
@@ -169,6 +210,30 @@ def merge_to_k(
         n_groups = groups.select("g").distinct().count()
     edges.unpersist()
     return MergeToKResult(groups.select("id", F.col("g").alias("group")), rounds, n_groups, history)
+
+
+
+def _gc_orphan_states(cp, keep_last: int = 2) -> None:
+    """Bounded storage for PAIRED checkpoints: prune() tracks one path per
+    manifest, so the suffix-superseded groups snapshots would leak — drop
+    every state dir not referenced by a surviving manifest's path or
+    groups_path metric."""
+    import json as _json
+    import shutil as _shutil
+
+    cp.prune(keep_last=keep_last)
+    keep = set()
+    for name in os.listdir(cp.dir):
+        if name.startswith("manifest_"):
+            with open(os.path.join(cp.dir, name)) as f:
+                m = _json.load(f)
+            keep.add(os.path.basename(m.get("path", "")))
+            gp = (m.get("metrics") or {}).get("groups_path", "")
+            if gp:
+                keep.add(os.path.basename(gp))
+    for name in os.listdir(cp.dir):
+        if name.startswith("state_") and name not in keep:
+            _shutil.rmtree(os.path.join(cp.dir, name), ignore_errors=True)
 
 
 def merge_to_k_sql(edges_sql: str, k: int, rounds: int, jumps: int = 3) -> str:

@@ -106,6 +106,7 @@ def kcore(
     undirected_edges: DataFrame,
     k: int = 2,
     rounds: int | None = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Iterative degree-< k peeling — the dangle-removal loop of
     FastPolygonizer (commons/FastPolygonizer.java:70-80 prunes degree-1
@@ -118,26 +119,67 @@ def kcore(
     paths) — the same GC fix PageRank/CC got; localCheckpoint pinned every
     round's |E| rows on-heap.
 
+    `checkpoint_dir` makes the run DURABLE (the PageRank/CC treatment): each
+    peel round's surviving edge set is written with a fingerprinted manifest
+    and a restarted call resumes mid-peel; the round's edge count rides the
+    checkpoint write via observe().
+
     Returns the surviving canonical edge set."""
     from pgs_spark.operators.state import make_work_dir, snapshot
 
-    work_dir = make_work_dir("pgs_kcore_")
+    cp = None
+    start_round = 0
     e = undirected_edges
     converge = rounds is None
-    limit = 10_000 if converge else rounds  # |E| shrinks every live round
     prev_n = e.count() if converge else None
-    for r in range(limit):
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            f"{fingerprint_edges(undirected_edges)}|k={k}|rounds={rounds}",
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()
+        else:
+            start_round, e, m = rp
+            if m.get("converged"):
+                return e
+            prev_n = int(m["edges"]) if converge else None
+    work_dir = None if cp is not None else make_work_dir("pgs_kcore_")
+    limit = 10_000 if converge else rounds  # |E| shrinks every live round
+    for r in range(start_round, limit):
         deg = (
             symmetrize(e).groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
         )
         keep = deg.filter(F.col("d") >= k).select("id")
-        e = snapshot(
+        survived = (
             e.join(keep.select(F.col("id").alias("src")), "src")
             .join(keep.select(F.col("id").alias("dst")), "dst")
-            .select("src", "dst"),
-            work_dir,
-            f"edges_{r % 2}",
+            .select("src", "dst")
         )
+        if cp is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = survived.observe(obs, F.count(F.lit(1)).alias("n"))
+            holder = {}
+
+            def _mfn(obs=obs, holder=holder, prev_n=prev_n):
+                n = int(obs.get["n"] or 0)
+                holder["n"] = n
+                return {"edges": n, "converged": converge and n == prev_n}
+
+            e = cp.save(observed, r + 1, metrics_fn=_mfn, lineage=False)
+            cp.prune(keep_last=2)
+            if converge:
+                if holder["n"] == prev_n:
+                    break
+                prev_n = holder["n"]
+            continue
+        e = snapshot(survived, work_dir, f"edges_{r % 2}")
         if converge:
             n = e.count()
             if n == prev_n:

@@ -35,3 +35,26 @@ def test_deterministic_across_runs(spark):
     a = {(r["id"], r["group"]) for r in merge_to_k(spark, e, k=4, fixed_rounds=3).groups.collect()}
     b = {(r["id"], r["group"]) for r in merge_to_k(spark, e, k=4, fixed_rounds=3).groups.collect()}
     assert a == b
+
+
+def test_merge_to_k_checkpoint_resume(spark, tmp_path):
+    """Durable paired-state resume: interrupt after 1 round, resume → same
+    grouping as an uninterrupted run (the merge program is deterministic)."""
+    from pgs_spark.operators.contraction import merge_to_k
+
+    pairs = random_graph(80, 0.06, seed=21)
+    e = edges_df(spark, pairs)
+    cp = str(tmp_path / "mk_ck")
+
+    interrupted = merge_to_k(spark, e, k=5, max_rounds=1, checkpoint_dir=cp)
+    assert interrupted.rounds == 1
+    resumed = merge_to_k(spark, e, k=5, max_rounds=8, checkpoint_dir=cp)
+    straight = merge_to_k(spark, e, k=5, max_rounds=8)
+    a = {r["id"]: r["group"] for r in resumed.groups.collect()}
+    b = {r["id"]: r["group"] for r in straight.groups.collect()}
+    assert a == b
+    # resume skipped round 1
+    assert all(h["round"] >= 2 for h in resumed.history)
+    # converged checkpoint short-circuits a third call
+    again = merge_to_k(spark, e, k=5, max_rounds=8, checkpoint_dir=cp)
+    assert {r["id"]: r["group"] for r in again.groups.collect()} == b
