@@ -26,13 +26,42 @@ def bfs_distances(
     undirected_edges: DataFrame,
     source: int,
     max_hops: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
-    """(id, dist) for every vertex reachable from `source` within max_hops."""
+    """(id, dist) for every vertex reachable from `source` within max_hops.
+
+    `checkpoint_dir` makes the run DURABLE (the PageRank/CC treatment):
+    each hop's visited set is checkpointed with a fingerprinted manifest
+    (keyed on source + max_hops) and a restarted call resumes mid-traversal;
+    the frontier size rides the checkpoint write via observe()."""
     sym = symmetrize(undirected_edges).persist()
-    work_dir = make_work_dir("pgs_bfs_")
-    visited = spark.createDataFrame([(int(source), 0)], "id long, dist int")
-    visited = snapshot(visited, work_dir, "visited_0")
-    for hop in range(1, max_hops + 1):
+    cp = None
+    start_hop = 0
+    visited = None
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            f"{fingerprint_edges(undirected_edges)}|src={source}|hops={max_hops}",
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()
+        else:
+            start_hop, visited, m = rp
+            if m.get("converged"):
+                sym.unpersist()
+                return visited
+    work_dir = None if cp is not None else make_work_dir("pgs_bfs_")
+    if visited is None:
+        visited = spark.createDataFrame([(int(source), 0)], "id long, dist int")
+        if cp is not None:
+            visited = cp.save(visited, 0, lineage=False)
+        else:
+            visited = snapshot(visited, work_dir, "visited_0")
+    for hop in range(start_hop + 1, max_hops + 1):
         frontier = visited.filter(F.col("dist") == hop - 1).select("id")
         nxt = (
             frontier.join(sym, frontier.id == sym.src)
@@ -41,6 +70,28 @@ def bfs_distances(
             .join(visited, "id", "left_anti")
             .select("id", F.lit(hop).cast("int").alias("dist"))
         )
+        if cp is not None:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = visited.union(nxt).observe(
+                obs,
+                F.sum(
+                    F.when(F.col("dist") == hop, 1).otherwise(0)
+                ).alias("frontier"),
+            )
+            holder = {}
+
+            def _mfn(obs=obs, holder=holder):
+                f = int(obs.get["frontier"] or 0)
+                holder["f"] = f
+                return {"frontier": f, "converged": f == 0}
+
+            visited = cp.save(observed, hop, metrics_fn=_mfn, lineage=False)
+            cp.prune(keep_last=2)
+            if holder["f"] == 0:
+                break
+            continue
         visited = snapshot(visited.union(nxt), work_dir, f"visited_{hop % 2}")
         # termination check reads the just-written snapshot — one cheap scan
         if visited.filter(F.col("dist") == hop).isEmpty():

@@ -260,14 +260,13 @@ SELECT vec_id AS id, CAST({terms} AS INT) AS bucket FROM embeddings
 """
 
 
-def dedup_clusters_sql(
+def dedup_clusters_parts(
     jaccard: float = 0.8, n_hashes: int = 8, band_size: int = 2, cap: int = 64
-) -> str:
-    """End-to-end keep-list oracle: LSH candidates → exact Jaccard filter →
-    ∪ exact sha256-duplicate edges → transitive closure (recursive CTE) →
-    min doc id per cluster. Mirrors operators/dedup.dedup_keep_list."""
-    return f"""
-WITH RECURSIVE {_minhash_ctes(n_hashes, band_size)},
+) -> tuple[str, str]:
+    """(CTE block, final keep-list SELECT) — composable (corpus_clean_sql
+    builds on the same chain). See dedup_clusters_sql for semantics."""
+    ctes = f"""
+{_minhash_ctes(n_hashes, band_size)},
 {_CAPPED_PAIRS.format(cap=cap).strip()},
 shd AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
@@ -292,6 +291,48 @@ csym AS MATERIALIZED (SELECT a AS u, b AS v FROM pe UNION ALL SELECT b, a FROM p
 reach(id, r) AS (
     SELECT doc_id, doc_id FROM documents
     UNION
-    SELECT s.u, reach.r FROM csym s JOIN reach ON s.v = reach.id)
-SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id
+    SELECT s.u, reach.r FROM csym s JOIN reach ON s.v = reach.id)"""
+    final = "SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id"
+    return ctes, final
+
+
+def dedup_clusters_sql(
+    jaccard: float = 0.8, n_hashes: int = 8, band_size: int = 2, cap: int = 64
+) -> str:
+    """End-to-end keep-list oracle: LSH candidates → exact Jaccard filter →
+    ∪ exact sha256-duplicate edges → transitive closure (recursive CTE) →
+    min doc id per cluster. Mirrors operators/dedup.dedup_keep_list."""
+    ctes, final = dedup_clusters_parts(jaccard, n_hashes, band_size, cap)
+    return f"WITH RECURSIVE {ctes}\n{final}"
+
+
+def corpus_clean_sql(min_quality: float = 0.5) -> str:
+    """END-TO-END corpus pipeline oracle: dedup keep-list → keepers only →
+    per-doc quality (6dp-rounded, so the >= filter is cross-engine exact) →
+    per-language corpus stats. Mirrors __spark_entry__.q_corpus_clean."""
+    ctes, final = dedup_clusters_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+clusters AS MATERIALIZED ({final}),
+keepers AS (SELECT doc_id FROM clusters WHERE doc_id = keep_id),
+kd AS MATERIALIZED (
+    SELECT d.doc_id, d.lang, d.text, {TOKS} AS w
+    FROM documents d JOIN keepers USING (doc_id)),
+m AS (SELECT doc_id, lang, len(w) AS n_tokens,
+    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS ar,
+    CAST(len(list_filter(w, x -> x IN ({_SW}))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS sw,
+    CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS mtl
+  FROM kd),
+q AS (SELECT doc_id, lang, n_tokens,
+    ROUND(0.4*ar + 0.4*LEAST(sw*4.0, 1.0)
+          + 0.2*(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+        AS quality
+  FROM m)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(quality), 6) AS avg_quality_r
+FROM q WHERE quality >= {min_quality!r} GROUP BY lang
 """

@@ -131,3 +131,25 @@ def test_kcore_checkpoint_resume(spark, tmp_path):
     a = {(r["src"], r["dst"]) for r in resumed.collect()}
     b = {(r["src"], r["dst"]) for r in straight.collect()}
     assert a == b
+
+
+def test_bfs_checkpoint_resume(spark, tmp_path):
+    """Durable BFS: interrupt after 2 hops, resume -> identical distances."""
+    from pgs_spark.operators.traversal import bfs_distances
+    from tests.oracles import random_graph
+
+    pairs = random_graph(70, 0.05, seed=33)
+    e = edges_df(spark, pairs)
+    cp = str(tmp_path / "bfs_ck")
+    src = min(min(a, b) for a, b in pairs)
+
+    bfs_distances(spark, e, src, max_hops=2, checkpoint_dir=cp)
+    resumed = bfs_distances(spark, e, src, max_hops=2, checkpoint_dir=cp)
+    full_cp = str(tmp_path / "bfs_ck2")
+    # different max_hops -> different fingerprint -> fresh run
+    a = {r["id"]: r["dist"] for r in bfs_distances(spark, e, src, checkpoint_dir=full_cp).collect()}
+    b = {r["id"]: r["dist"] for r in bfs_distances(spark, e, src).collect()}
+    assert a == b
+    # the capped resume returns the hop-2 state unchanged
+    got2 = {r["id"]: r["dist"] for r in resumed.collect()}
+    assert got2 == {k: v for k, v in b.items() if v <= 2}
