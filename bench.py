@@ -190,6 +190,29 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     )
     extra["minhash_bucket_capping_w64"] = wide_stats
 
+    # end-to-end corpus pipeline (round 4): dedup keep-list -> keepers ->
+    # quality threshold -> per-language stats — the full composition a
+    # training-data pipeline runs, timed as ONE workload.
+    from pgs_spark.functions import text as tx
+    from pgs_spark.operators.dedup import dedup_keep_list
+
+    def _corpus_clean():
+        keep = dedup_keep_list(spark, docs)
+        keepers = keep.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+        kd = docs.join(keepers, "doc_id").select(
+            "lang",
+            tx.token_count(F.col("text")).alias("n_tokens"),
+            tx.quality_score(F.col("text")).alias("quality"),
+        )
+        return (
+            kd.filter(F.col("quality") >= 0.5)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("toks"))
+            .count()
+        )
+
+    extra["corpus_clean_langs"] = timed("corpus_clean_pipeline", _corpus_clean)
+
     from pgs_spark.operators.dedup import simhash_candidates
 
     extra["simhash_pairs"] = timed(
