@@ -533,6 +533,16 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(report, f)
+    # preserve hand-written sections below the marker across regenerations
+    # (round-4 lesson: a ladder re-run silently clobbered the sf-ladder /
+    # drift / IVF evidence sections)
+    preserved = ""
+    marker = "<!-- CUSTOM SECTIONS BELOW — preserved across --scaling regeneration -->"
+    if os.path.exists("BENCH/BASELINE.md"):
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        if marker in prev:
+            preserved = prev[prev.index(marker):]
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
@@ -642,6 +652,10 @@ for aggregations partial-agg cannot combine. Measurement over assumption.
 Reproduce: `python bench.py --scaling`
 """
         )
+        if preserved:
+            f.write("\n" + preserved)
+        else:
+            f.write("\n" + marker + "\n")
     print(json.dumps(report))
 
 
