@@ -278,3 +278,139 @@ def fr_layout_sql(
         + ",\n".join(parts)
         + f"\nSELECT id, ROUND(x, 6) AS x_r, ROUND(y, 6) AS y_r FROM {prev}"
     )
+
+
+def repulsion_circle_pack(
+    spark: SparkSession,
+    circles: DataFrame,
+    iterations: int = 20,
+) -> LayoutResult:
+    """Overlap-removal circle packing — RepulsionCirclePack graft
+    (commons/RepulsionCirclePack.java:33-97: iterate: for every overlapping
+    pair, push each circle half the overlap apart along the separation
+    direction, until no overlaps / iteration cap).
+
+    circles (id, x, y, r) → (id, x, y) after `iterations` fixed repulsion
+    supersteps. Overlap candidates come from the SAME 3×3 grid equi-join as
+    `fr_layout` with cell side 2·max(r) — two circles can only overlap if
+    their centers are within r_i + r_j ≤ 2·r_max, i.e. adjacent cells; never
+    an all-pairs crossJoin. Coincident centers (d² ≤ 1e-12) get no
+    displacement (the deterministic stand-in for the reference's random
+    nudge — documented divergence, cross-engine exact).
+
+    Fixed-program + deterministic → DuckDB-oracle-checkable
+    (`circle_pack_sql` unrolls the identical recurrence).
+    """
+    pts = circles.select(
+        "id",
+        F.col("x").cast("double"),
+        F.col("y").cast("double"),
+        F.col("r").cast("double"),
+    )
+    stats = pts.agg(F.count("*").alias("n"), F.max("r").alias("rmax")).first()
+    if not stats["n"]:
+        return LayoutResult(
+            spark.createDataFrame([], "id long, x double, y double"), 0
+        )
+    cell = 2.0 * float(stats["rmax"])
+
+    default_p = spark.conf.get("spark.sql.shuffle.partitions")
+    round_p = max(8, min(int(default_p), int(stats["n"]) // 250_000 + 8))
+    default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+
+    work_dir = make_work_dir("pgs_pack_")
+    pos = snapshot(pts.coalesce(round_p), work_dir, "pack_0")
+    history: list[dict] = []
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for it in range(1, iterations + 1):
+            cells = pos.select(
+                "id", "x", "y", "r",
+                F.floor(F.col("x") / cell).alias("cx"),
+                F.floor(F.col("y") / cell).alias("cy"),
+            )
+            probe = cells.select(
+                "id", "x", "y", "r",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            (F.col("cx") + dx).alias("cx"),
+                            (F.col("cy") + dy).alias("cy"),
+                        )
+                        for dx, dy in offsets
+                    ])
+                ).alias("c"),
+            ).select("id", "x", "y", "r", "c.cx", "c.cy")
+            other = cells.select(
+                F.col("id").alias("oid"), F.col("x").alias("ox"),
+                F.col("y").alias("oy"), F.col("r").alias("orr"), "cx", "cy",
+            )
+            dx_ = F.col("x") - F.col("ox")
+            dy_ = F.col("y") - F.col("oy")
+            d2 = dx_ * dx_ + dy_ * dy_
+            rsum = F.col("r") + F.col("orr")
+            d = F.sqrt(d2)
+            push = (rsum - d) * F.lit(0.5) / d  # per-axis factor on Δ
+            disp = (
+                probe.join(other, ["cx", "cy"])
+                .filter(F.col("id") != F.col("oid"))
+                .filter((d2 < rsum * rsum) & (d2 > F.lit(_EPS_D2)))
+                .groupBy("id")
+                .agg(
+                    F.sum(dx_ * push).alias("dx"),
+                    F.sum(dy_ * push).alias("dy"),
+                )
+            )
+            moved = pos.join(disp, "id", "left").select(
+                "id",
+                (F.col("x") + F.coalesce("dx", F.lit(0.0))).alias("x"),
+                (F.col("y") + F.coalesce("dy", F.lit(0.0))).alias("y"),
+                "r",
+            )
+            pos = snapshot(moved.coalesce(round_p), work_dir, f"pack_{it % 2}")
+            history.append({"iteration": it})
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_p)
+        spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
+    return LayoutResult(pos.select("id", "x", "y"), iterations, history)
+
+
+def circle_pack_sql(circles_sql: str, iterations: int) -> str:
+    """Unrolled DuckDB oracle for `repulsion_circle_pack` — identical fixed
+    program over (id, x, y, r); cell side 2·max(r), 6dp output rounding."""
+    parts = [
+        f"c0 AS MATERIALIZED (SELECT id, CAST(x AS DOUBLE) AS x, "
+        f"CAST(y AS DOUBLE) AS y, CAST(r AS DOUBLE) AS r FROM ({circles_sql}))",
+        "cst AS MATERIALIZED (SELECT 2.0 * MAX(r) AS cell FROM c0)",
+    ]
+    prev = "c0"
+    for i in range(1, iterations + 1):
+        parts += [
+            f"cell{i} AS MATERIALIZED (SELECT p.id, p.x, p.y, p.r, "
+            f"floor(p.x / c.cell) AS cx, floor(p.y / c.cell) AS cy "
+            f"FROM {prev} p CROSS JOIN cst c)",
+            # parenthesize the push factor exactly as the engine computes
+            # it ((rsum − d)·0.5/d, THEN ×Δ) — multiplication order changes
+            # double rounding and would break 6dp equality
+            f"disp{i} AS (SELECT a.id, "
+            "SUM((a.x - b.x) * ((((a.r + b.r) - sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y))) * 0.5) "
+            "/ sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)))) AS dx, "
+            "SUM((a.y - b.y) * ((((a.r + b.r) - sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y))) * 0.5) "
+            "/ sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)))) AS dy "
+            f"FROM cell{i} a JOIN cell{i} b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1 "
+            "AND b.cy BETWEEN a.cy - 1 AND a.cy + 1 AND a.id <> b.id "
+            "WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) < (a.r + b.r)*(a.r + b.r) "
+            "AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) > 1e-12 "
+            "GROUP BY a.id)",
+            f"c{i} AS MATERIALIZED (SELECT p.id, p.x + COALESCE(d.dx, 0.0) AS x, "
+            f"p.y + COALESCE(d.dy, 0.0) AS y, p.r "
+            f"FROM {prev} p LEFT JOIN disp{i} d ON p.id = d.id)",
+        ]
+        prev = f"c{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(x, 6) AS x_r, ROUND(y, 6) AS y_r FROM {prev}"
+    )

@@ -77,3 +77,38 @@ def test_layout_iteration_plan_no_cartesian(spark):
     plan = plan_string(step)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_circle_pack_reduces_overlap(spark):
+    """RepulsionCirclePack invariant (commons/RepulsionCirclePack.java:33-97):
+    iterating reduces total pairwise overlap; non-overlapping inputs don't
+    move; coincident centers don't NaN."""
+    import itertools
+    import math
+
+    from pgs_spark.operators.layout import repulsion_circle_pack
+
+    rows = [
+        (0, 0.0, 0.0, 1.0),
+        (1, 0.5, 0.0, 1.0),   # overlaps 0
+        (2, 0.0, 0.6, 1.0),   # overlaps 0 and 1
+        (3, 10.0, 10.0, 1.0),  # isolated — must not move
+        (4, 20.0, 20.0, 1.0),  # coincident with 5
+        (5, 20.0, 20.0, 1.0),
+    ]
+    circles = spark.createDataFrame(rows, "id long, x double, y double, r double")
+
+    def overlap(pos):
+        tot = 0.0
+        for (i, (xi, yi, ri)), (j, (xj, yj, rj)) in itertools.combinations(pos.items(), 2):
+            d = math.dist((xi, yi), (xj, yj))
+            tot += max(0.0, ri + rj - d)
+        return tot
+
+    start = {i: (x, y, r) for i, x, y, r in rows}
+    res = repulsion_circle_pack(spark, circles, iterations=8)
+    got = {r["id"]: (r["x"], r["y"]) for r in res.positions.collect()}
+    end = {i: (got[i][0], got[i][1], start[i][2]) for i in got}
+    assert overlap(end) < overlap(start) * 0.5
+    assert got[3] == (10.0, 10.0)  # isolated circle untouched
+    assert all(math.isfinite(v) for xy in got.values() for v in xy)
