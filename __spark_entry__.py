@@ -929,6 +929,18 @@ def q_circle_pack(spark, sf_dir):
     )
 
 
+
+def q_matching(spark, sf_dir):
+    """Kolmogorov-matching role (SURVEY §2.9; PGS_Meshing nodeMatching) as
+    the distributed hash-handshake maximal matching, 3 fixed rounds at gate
+    scale over the sparse co-purchase graph — both engines replay the
+    identical fixed program."""
+    from pgs_spark.operators.matching import greedy_matching
+
+    e = co_purchase_edges(spark, sf_dir, MINQ_SPARSE)
+    return greedy_matching(spark, e, fixed_rounds=3).pairs
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1024,6 +1036,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spiral_order": q_spiral_order,
         "corpus_clean": q_corpus_clean,
         "circle_pack": q_circle_pack,
+        "matching": q_matching,
     }
 
 
@@ -1248,6 +1261,9 @@ def oracle_sql() -> dict[str, str]:
             dense_w_sym, iterations=5, weighted=True
         ),
         "connected_components": osql.components_sql(sparse),
+        "matching": __import__(
+            "pgs_spark.operators.matching", fromlist=["matching_sql"]
+        ).matching_sql(sparse, rounds=3),
         "spanner": __import__(
             "pgs_spark.operators.spanner", fromlist=["spanner_sql"]
         ).spanner_sql(sparse, k=2, seed=7),
