@@ -69,3 +69,82 @@ def zorder_layout(
     pruning on the co-purchase edge table)."""
     with_z = df.withColumn(z_col, interleave_bits(F.col(x_col), F.col(y_col)))
     return with_z.repartitionByRange(num_partitions, z_col).sortWithinPartitions(z_col)
+
+
+def sfc_tour(points: DataFrame) -> DataFrame:
+    """Space-filling-curve tour — the distributed GreedyTSP analog
+    (PGS_Optimisation greedy nearest-neighbor tour; SURVEY §2.9). A
+    sequential nearest-neighbor tour is inherently serial; the classic
+    distributed heuristic for Euclidean TSP is "visit points in
+    space-filling-curve order" (Platzman & Bartholdi, "Spacefilling curves
+    and the planar travelling salesman problem", JACM 1989 — O(log n)
+    worst-case tour-length ratio; Morton here, same locality family).
+
+    points (id, x, y) → (id, z, tour_rank): quantize to a 16-bit grid,
+    Morton-interleave, rank by (z, id). The rank is two-level — per-bucket
+    (z >> 16) row_number + a |buckets|-row cumulative offset join — so no
+    global single-partition window; the same discipline as spiral_order.
+    """
+    from pyspark.sql import Window as W
+
+    pts = points.select(
+        "id", F.col("x").cast("double"), F.col("y").cast("double")
+    )
+    b = pts.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).first()
+    x0, x1, y0, y1 = (float(b[c] or 0.0) for c in ("x0", "x1", "y0", "y1"))
+    xr = (x1 - x0) or 1.0
+    yr = (y1 - y0) or 1.0
+
+    def quant(col, lo, rng):
+        return F.least(
+            F.floor((col - F.lit(lo)) / F.lit(rng) * F.lit(65535.0)),
+            F.lit(65535),
+        ).cast("long")
+
+    zed = pts.select(
+        "id",
+        interleave_bits(
+            quant(F.col("x"), x0, xr), quant(F.col("y"), y0, yr)
+        ).alias("z"),
+    )
+    w_b = W.partitionBy("bkt").orderBy("z", "id")
+    within = zed.withColumn("bkt", F.shiftright("z", 16)).withColumn(
+        "rn", F.row_number().over(w_b)
+    )
+    w_off = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        within.groupBy("bkt")
+        .agg(F.count("*").alias("sz"))
+        .select("bkt", F.coalesce(F.sum("sz").over(w_off), F.lit(0)).alias("off"))
+    )
+    return within.join(offs, "bkt").select(
+        "id", "z", (F.col("off") + F.col("rn")).cast("long").alias("tour_rank")
+    )
+
+
+def sfc_tour_sql(points_sql: str) -> str:
+    """DuckDB oracle for sfc_tour — identical quantization, interleave
+    (interleave_sql bit cascade), and two-level ranking."""
+    qx = "CAST(least(floor((p.x - c.x0) / c.xr * 65535.0), 65535) AS BIGINT)"
+    qy = "CAST(least(floor((p.y - c.y0) / c.yr * 65535.0), 65535) AS BIGINT)"
+    z = interleave_sql(qx, qy)
+    return f"""
+WITH pts AS MATERIALIZED (SELECT id, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+                          FROM ({points_sql})),
+cst AS MATERIALIZED (SELECT MIN(x) AS x0, MIN(y) AS y0,
+    CASE WHEN MAX(x) - MIN(x) = 0 THEN 1.0 ELSE MAX(x) - MIN(x) END AS xr,
+    CASE WHEN MAX(y) - MIN(y) = 0 THEN 1.0 ELSE MAX(y) - MIN(y) END AS yr
+    FROM pts),
+zed AS MATERIALIZED (SELECT p.id, {z} AS z FROM pts p CROSS JOIN cst c),
+rk AS (SELECT id, z, z >> 16 AS bkt,
+       ROW_NUMBER() OVER (PARTITION BY z >> 16 ORDER BY z, id) AS rn FROM zed),
+off AS (SELECT bkt,
+        COALESCE(SUM(CAST(sz AS BIGINT)) OVER (ORDER BY bkt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        FROM (SELECT bkt, COUNT(*) AS sz FROM rk GROUP BY bkt))
+SELECT r.id, r.z, CAST(f.o + r.rn AS BIGINT) AS tour_rank
+FROM rk r JOIN off f ON r.bkt = f.bkt
+"""

@@ -74,3 +74,29 @@ def test_zorder_layout_prunes_box_scans(spark, tmp_path):
     b = spark.read.parquet(zpath)
     assert a.count() == b.count()
     assert a.exceptAll(b).isEmpty()
+
+
+def test_sfc_tour_beats_random_order(spark):
+    """TSP-heuristic sanity (Platzman-Bartholdi): the SFC tour over random
+    points is much shorter than an id-order tour, and ranks are a
+    permutation of 1..n."""
+    import math
+    import random
+
+    from pgs_spark.functions.zorder import sfc_tour
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(400)]
+    pts = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"]: r["tour_rank"] for r in sfc_tour(pts).collect()}
+    assert sorted(got.values()) == list(range(1, 401))
+    pos = {i: (x, y) for i, x, y in rows}
+
+    def tour_len(order):
+        return sum(
+            math.dist(pos[a], pos[b]) for a, b in zip(order, order[1:])
+        )
+
+    sfc_order = [i for i, _ in sorted(got.items(), key=lambda kv: kv[1])]
+    id_order = sorted(pos)
+    assert tour_len(sfc_order) < 0.5 * tour_len(id_order)
