@@ -161,6 +161,12 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "spanner_k2",
         lambda: baswana_sen_spanner(spark, cop_sparse, k=2, seed=7).edges.count(),
     )
+    from pgs_spark.operators.matching import greedy_matching
+
+    extra["matching_pairs"] = timed(
+        "matching",
+        lambda: greedy_matching(spark, cop_sparse).pairs.count(),
+    )
 
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
@@ -262,6 +268,28 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     truth_df["t"].unpersist()
     qs.unpersist()
     timed("kmeans_2it", lambda: kmeans_assign(emb, k=4, iterations=2).count())
+
+    # round-4 geometry family over the embedding points: SFC tour (TSP role)
+    # and circle packing (overlap removal, 10 supersteps)
+    from pgs_spark.functions.zorder import sfc_tour
+    from pgs_spark.operators.layout import repulsion_circle_pack
+
+    pts2d = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    ).persist()
+    pts2d.count()
+    timed("sfc_tour", lambda: sfc_tour(pts2d).count())
+    circles = pts2d.select(
+        "id", "x", "y",
+        (F.lit(0.004) + (F.col("id") % 3).cast("double") * F.lit(0.002)).alias("r"),
+    )
+    timed(
+        "circle_pack_10it",
+        lambda: repulsion_circle_pack(spark, circles, iterations=10).positions.count(),
+    )
+    pts2d.unpersist()
 
     spark.stop()
     total = round(sum(timings.values()), 3)
