@@ -84,9 +84,13 @@ def merge_to_k(
         return snapshot(df, work_dir, name)
 
     # Durable mode (checkpoint_dir): the round state is the PAIR
-    # (groups, gedges); gedges is saved with suffix "e" and its manifest —
-    # written last, carrying groups_path + n_groups — supersedes the plain
-    # one, so resume_point() hands back gedges and the metrics locate groups.
+    # (groups, gedges). Crash-safe ordering: groups is snapshotted with
+    # manifest=False first, then gedges' save() emits the round's SINGLE
+    # manifest carrying groups_path + n_groups — a crash between the two
+    # writes leaves the previous round's complete manifest as newest, so
+    # resume never sees a half-round. Resume additionally skips (doesn't
+    # wedge on) any manifest missing groups_path — e.g. state written by an
+    # older build with the superseded-manifest crash window.
     cp = None
     start_round = 0
     resumed = None
@@ -98,14 +102,20 @@ def merge_to_k(
             checkpoint_dir,
             f"{fingerprint_edges(undirected_edges)}|k={k}|jumps={jumps}",
         )
-        rp = cp.resume_point()
-        if rp is None:
+        for mm in reversed(cp.manifests()):
+            if mm.get("input_fingerprint") != cp.fingerprint:
+                break  # different input — all state here is stale
+            met = mm.get("metrics") or {}
+            if "groups_path" not in met or not os.path.isdir(met["groups_path"]):
+                continue  # incomplete pair (crash window) — fall back one round
+            start_round = mm["iteration"]
+            gedges = cp.load(mm)
+            groups = spark.read.parquet(met["groups_path"])
+            n_groups = int(met["n_groups"])
+            resumed = met
+            break
+        if resumed is None:
             cp.clear()
-        else:
-            start_round, gedges, mm = rp
-            groups = spark.read.parquet(mm["groups_path"])
-            n_groups = int(mm["n_groups"])
-            resumed = mm
     if resumed is None:
         groups = _snap(verts.select("id", F.col("id").alias("g")), "g_0")
         # Group-level edge table, CONTRACTED each round: round r's group
@@ -179,7 +189,9 @@ def merge_to_k(
                 .distinct()
             )
             if cp is not None:
-                groups = cp.save(new_groups, r, lineage=False)
+                # groups first, manifest=False: no manifest exists for round r
+                # until BOTH snapshots are on disk (crash → resume at r-1)
+                groups = cp.save(new_groups, r, lineage=False, suffix="g", manifest=False)
                 if fixed_rounds is None:
                     n_groups = groups.select("g").distinct().count()
                 gedges = cp.save(

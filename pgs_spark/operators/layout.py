@@ -29,6 +29,7 @@ the dedup/ANN operators already run at that shape.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,7 +79,12 @@ def fr_layout(
         return LayoutResult(
             spark.createDataFrame([], "id long, x double, y double"), 0
         )
-    k = width / float(n) ** 0.5
+    # math.sqrt (correctly rounded per IEEE-754) rather than **0.5 (libm
+    # pow(), not guaranteed correctly rounded everywhere): the DuckDB oracle
+    # derives k as width / sqrt(COUNT(*)), and a 1-ulp divergence in k moves
+    # r_cut enough to flip grid-cell membership — same discipline as
+    # spanner.py's 1/sqrt(n) threshold.
+    k = width / math.sqrt(float(n))
     r_cut = 2.0 * k
 
     default_p = spark.conf.get("spark.sql.shuffle.partitions")
