@@ -864,6 +864,33 @@ def q_spanner(spark, sf_dir):
 
 
 
+def q_spanner_weighted(spark, sf_dir):
+    """Weight-aware Baswana-Sen (the reference spanner consumes the
+    Euclidean-WEIGHTED triangulation graph: PGS_Triangulation.java:550-569
+    setEdgeWeight; PGS_Meshing.java:267-285): lightest-edge-per-cluster
+    struct-mins + the strictly-closer-clusters rule, k=2, over the
+    co-occurrence-weighted sparse co-purchase graph. Integer weights make
+    every comparison cross-engine exact."""
+    from pgs_spark.operators.spanner import baswana_sen_spanner_weighted
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_SPARSE)
+    return baswana_sen_spanner_weighted(spark, we, k=2, seed=7).edges
+
+
+
+def q_matching_weighted(spark, sf_dir):
+    """Local-max (Preis) weighted matching — the reference's MAXIMIZE
+    objective (KolmogorovWeightedMatching, PGS_Meshing.java:536-543):
+    propose along the locally-heaviest incident edge (hash tie-break keeps
+    the program fixed), mutual proposals match; 1/2-approx max-weight.
+    3 fixed rounds at gate scale."""
+    from pgs_spark.operators.matching import local_max_matching
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_SPARSE)
+    return local_max_matching(spark, we, fixed_rounds=3).pairs
+
+
+
 def q_spiral_order(spark, sf_dir):
     """spiralSortFaces composition (PGS_Optimisation.java:1098,
     commons/SpiralIterator.java:16-64): BFS rings from the minimum point id
@@ -1048,6 +1075,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circle_pack": q_circle_pack,
         "matching": q_matching,
         "sfc_tour": q_sfc_tour,
+        "spanner_weighted": q_spanner_weighted,
+        "matching_weighted": q_matching_weighted,
     }
 
 
@@ -1281,6 +1310,12 @@ def oracle_sql() -> dict[str, str]:
         "spanner": __import__(
             "pgs_spark.operators.spanner", fromlist=["spanner_sql"]
         ).spanner_sql(sparse, k=2, seed=7),
+        "spanner_weighted": __import__(
+            "pgs_spark.operators.spanner", fromlist=["spanner_weighted_sql"]
+        ).spanner_weighted_sql(co_purchase_weighted_sql(MINQ_SPARSE), seed=7),
+        "matching_weighted": __import__(
+            "pgs_spark.operators.matching", fromlist=["local_max_matching_sql"]
+        ).local_max_matching_sql(co_purchase_weighted_sql(MINQ_SPARSE), rounds=3),
         "coloring": __import__(
             "pgs_spark.operators.coloring", fromlist=["coloring_sql"]
         ).coloring_sql(dense, rounds=COLORING_ROUNDS),
