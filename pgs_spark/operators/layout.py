@@ -62,6 +62,8 @@ def fr_layout(
     iterations: int = 50,
     seed: int = 1337,
     width: float = 1.0,
+    checkpoint_dir: str | None = None,
+    run_budget: int | None = None,
 ) -> LayoutResult:
     """Canonical undirected edge table (src, dst) → (id, x, y) positions.
 
@@ -69,7 +71,24 @@ def fr_layout(
     3×3 grid join; attraction d²/k along edges; displacement capped by a
     linearly cooling temperature t_i = (width/10)·(1 − (i−1)/iterations);
     positions clamped to [0, width]. Deterministic for a given (graph, seed).
-    """
+
+    `checkpoint_dir` enables DURABLE resume (CheckpointManager manifests,
+    same treatment as pagerank/components): the loop already snapshots
+    positions to parquet every iteration, so the durable path re-routes that
+    exact write through cp.save — the only added cost is one manifest JSON
+    per iteration. A restarted run with the same (graph, iterations, seed,
+    width) fingerprint resumes at the newest manifest and — the whole
+    recurrence being a fixed deterministic program — finishes with the same
+    positions as an uninterrupted run to float-summation noise (~1e-12; the
+    shuffle merge-order caveat that applies between ANY two runs), i.e.
+    identical at the gate's 6dp rounding (the reference's seeded
+    50-iteration contract, PGS_Conversion.java:977-1004).
+
+    `run_budget` caps the supersteps executed by THIS invocation (the
+    time-budgeted-chunk pattern for hours-long layouts at cluster scale);
+    the checkpoint carries the remainder — call again to continue. The
+    TOTAL iteration count stays part of the program (it parameterizes the
+    cooling schedule) and of the resume fingerprint."""
     sym0 = symmetrize(undirected_edges)
     verts = sym0.select(F.col("src").alias("id")).distinct().persist()
     n = verts.count()
@@ -101,16 +120,33 @@ def fr_layout(
     # while parquet round-trips stay flat for 40+ iterations. Off-heap
     # state is also the engine's cluster-scale recipe (the 20M-vertex
     # Full-GC lesson in state.py).
+    cp = None
+    start_it = 0
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager, fingerprint_edges
+
+        cp = CheckpointManager(
+            spark,
+            checkpoint_dir,
+            f"{fingerprint_edges(sym0)}|it={iterations}|seed={seed}|w={width!r}",
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()
+        else:
+            start_it, pos, _ = rp
+
     work_dir = make_work_dir("pgs_fr_")
-    pos = snapshot(
-        verts.select(
-            "id",
-            (_hash_unit(F.col("id"), "x", seed) * width).alias("x"),
-            (_hash_unit(F.col("id"), "y", seed) * width).alias("y"),
-        ).coalesce(round_p),
-        work_dir,
-        "pos_0",
-    )
+    if start_it == 0:
+        pos = snapshot(
+            verts.select(
+                "id",
+                (_hash_unit(F.col("id"), "x", seed) * width).alias("x"),
+                (_hash_unit(F.col("id"), "y", seed) * width).alias("y"),
+            ).coalesce(round_p),
+            work_dir,
+            "pos_0",
+        )
 
     history: list[dict] = []
     # NOTE: session-global shuffle width + AQE off for the loop (restored in
@@ -121,18 +157,29 @@ def fr_layout(
     default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    done_it = start_it
     try:
-        for it in range(1, iterations + 1):
+        for it in range(start_it + 1, iterations + 1):
             t = (width / 10.0) * (1.0 - (it - 1) / float(iterations))
             pos_new = _fr_iteration(sym, pos, k, r_cut, t, width)
-            pos = snapshot(pos_new.coalesce(round_p), work_dir, f"pos_{it % 2}")
+            if cp is not None:
+                pos = cp.save(
+                    pos_new.coalesce(round_p), it, lineage=False,
+                    metrics={"temperature": t},
+                )
+                cp.prune(keep_last=2)
+            else:
+                pos = snapshot(pos_new.coalesce(round_p), work_dir, f"pos_{it % 2}")
             history.append({"iteration": it, "temperature": t})
+            done_it = it
+            if run_budget is not None and it - start_it >= run_budget:
+                break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_p)
         spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
     sym.unpersist()
     verts.unpersist()
-    return LayoutResult(pos, iterations, history)
+    return LayoutResult(pos, done_it, history)
 
 
 def _fr_iteration(
@@ -290,6 +337,8 @@ def repulsion_circle_pack(
     spark: SparkSession,
     circles: DataFrame,
     iterations: int = 20,
+    checkpoint_dir: str | None = None,
+    run_budget: int | None = None,
 ) -> LayoutResult:
     """Overlap-removal circle packing — RepulsionCirclePack graft
     (commons/RepulsionCirclePack.java:33-97: iterate: for every overlapping
@@ -306,6 +355,12 @@ def repulsion_circle_pack(
 
     Fixed-program + deterministic → DuckDB-oracle-checkable
     (`circle_pack_sql` unrolls the identical recurrence).
+
+    `checkpoint_dir` enables durable resume exactly as in `fr_layout`: the
+    per-iteration parquet snapshot is re-routed through CheckpointManager
+    (only a manifest JSON is added), keyed on a content fingerprint of the
+    circle set + iteration count; a resumed run matches an uninterrupted one
+    to float-summation noise (identical at the gate's 6dp rounding).
     """
     pts = circles.select(
         "id",
@@ -324,14 +379,34 @@ def repulsion_circle_pack(
     round_p = max(8, min(int(default_p), int(stats["n"]) // 250_000 + 8))
     default_aqe = spark.conf.get("spark.sql.adaptive.enabled")
 
+    cp = None
+    start_it = 0
+    if checkpoint_dir is not None:
+        from pgs_spark.streaming.checkpoint import CheckpointManager
+
+        fp_row = pts.select(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("id", "x", "y", "r")).alias("h"),
+        ).first()
+        cp = CheckpointManager(
+            spark, checkpoint_dir, f"{fp_row['n']}:{fp_row['h']}|it={iterations}"
+        )
+        rp = cp.resume_point()
+        if rp is None:
+            cp.clear()
+        else:
+            start_it, pos, _ = rp
+
     work_dir = make_work_dir("pgs_pack_")
-    pos = snapshot(pts.coalesce(round_p), work_dir, "pack_0")
+    if start_it == 0:
+        pos = snapshot(pts.coalesce(round_p), work_dir, "pack_0")
     history: list[dict] = []
     offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     spark.conf.set("spark.sql.shuffle.partitions", str(round_p))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    done_it = start_it
     try:
-        for it in range(1, iterations + 1):
+        for it in range(start_it + 1, iterations + 1):
             cells = pos.select(
                 "id", "x", "y", "r",
                 F.floor(F.col("x") / cell).alias("cx"),
@@ -375,12 +450,19 @@ def repulsion_circle_pack(
                 (F.col("y") + F.coalesce("dy", F.lit(0.0))).alias("y"),
                 "r",
             )
-            pos = snapshot(moved.coalesce(round_p), work_dir, f"pack_{it % 2}")
+            if cp is not None:
+                pos = cp.save(moved.coalesce(round_p), it, lineage=False)
+                cp.prune(keep_last=2)
+            else:
+                pos = snapshot(moved.coalesce(round_p), work_dir, f"pack_{it % 2}")
             history.append({"iteration": it})
+            done_it = it
+            if run_budget is not None and it - start_it >= run_budget:
+                break
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_p)
         spark.conf.set("spark.sql.adaptive.enabled", default_aqe)
-    return LayoutResult(pos.select("id", "x", "y"), iterations, history)
+    return LayoutResult(pos.select("id", "x", "y"), done_it, history)
 
 
 def circle_pack_sql(circles_sql: str, iterations: int) -> str:

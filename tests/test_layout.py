@@ -112,3 +112,57 @@ def test_circle_pack_reduces_overlap(spark):
     assert overlap(end) < overlap(start) * 0.5
     assert got[3] == (10.0, 10.0)  # isolated circle untouched
     assert all(math.isfinite(v) for xy in got.values() for v in xy)
+
+
+def test_layout_checkpoint_resume(spark, tmp_path):
+    """Durable resume (round-4 VERDICT #2): kill after 3 of 8 iterations
+    (run_budget), resume from the manifest, final positions match an
+    uninterrupted run to the float-summation tolerance (1e-12 — the same
+    convention as the determinism test above; identical at 6dp gate
+    rounding). The resumed run must actually SKIP the completed supersteps."""
+    import numpy as np
+
+    e = edges_df(spark, random_graph(40, 0.1, seed=5))
+    ck = str(tmp_path / "fr_ck")
+    part = fr_layout(spark, e, iterations=8, seed=1337, checkpoint_dir=ck, run_budget=3)
+    assert part.iterations == 3
+    resumed = fr_layout(spark, e, iterations=8, seed=1337, checkpoint_dir=ck)
+    assert resumed.iterations == 8
+    assert all(h["iteration"] >= 4 for h in resumed.history)  # skipped 1-3
+    straight = fr_layout(spark, e, iterations=8, seed=1337)
+    pr = {r["id"]: (r["x"], r["y"]) for r in resumed.positions.collect()}
+    ps = {r["id"]: (r["x"], r["y"]) for r in straight.positions.collect()}
+    assert set(pr) == set(ps)
+    ids = sorted(pr)
+    assert np.allclose([pr[i] for i in ids], [ps[i] for i in ids], atol=1e-12, rtol=0)
+    # a completed checkpoint short-circuits: third call runs zero supersteps
+    again = fr_layout(spark, e, iterations=8, seed=1337, checkpoint_dir=ck)
+    assert len(again.history) == 0
+    pa = {r["id"]: (r["x"], r["y"]) for r in again.positions.collect()}
+    assert pa == pr  # exact: same parquet snapshot read back
+    # different fingerprint (seed) must NOT resume from this state
+    other = fr_layout(spark, e, iterations=8, seed=42, checkpoint_dir=ck)
+    assert len(other.history) == 8
+
+
+def test_circle_pack_checkpoint_resume(spark, tmp_path):
+    """Same durable-resume contract for repulsion_circle_pack."""
+    import numpy as np
+
+    from pgs_spark.operators.layout import repulsion_circle_pack
+
+    rows = [
+        (i, 0.1 * (i % 7), 0.1 * (i // 7), 0.08 + 0.01 * (i % 3))
+        for i in range(30)
+    ]
+    circles = spark.createDataFrame(rows, "id long, x double, y double, r double")
+    ck = str(tmp_path / "pack_ck")
+    part = repulsion_circle_pack(spark, circles, iterations=6, checkpoint_dir=ck, run_budget=2)
+    assert part.iterations == 2
+    resumed = repulsion_circle_pack(spark, circles, iterations=6, checkpoint_dir=ck)
+    assert resumed.iterations == 6
+    straight = repulsion_circle_pack(spark, circles, iterations=6)
+    pr = {r["id"]: (r["x"], r["y"]) for r in resumed.positions.collect()}
+    ps = {r["id"]: (r["x"], r["y"]) for r in straight.positions.collect()}
+    ids = sorted(pr)
+    assert np.allclose([pr[i] for i in ids], [ps[i] for i in ids], atol=1e-12, rtol=0)
