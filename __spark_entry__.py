@@ -299,11 +299,18 @@ def q_fingerprints(spark, sf_dir):
     from pgs_spark.functions import text as tx
 
     docs = load_table(spark, sf_dir, "documents")
-    fp = tx.fingerprints(F.col("text"))
-    return docs.select(
+    # two-step projections: tokens, then the fingerprint array, each as a
+    # real column — referencing the chain inline re-evaluates the regex
+    # split/md5 per element access inside the HOF lambdas (the measured
+    # 8-16x shingle hazard, functions/text.py shingles_from_tokens)
+    fp = (
+        docs.select("doc_id", tx.tokens(F.col("text")).alias("_w"))
+        .select("doc_id", tx.fingerprints_from_tokens(F.col("_w")).alias("_fp"))
+    )
+    return fp.select(
         "doc_id",
-        F.size(fp).cast("int").alias("n_fp"),
-        F.array_min(fp).alias("min_fp"),
+        F.size("_fp").cast("int").alias("n_fp"),
+        F.array_min("_fp").alias("min_fp"),
     )
 
 

@@ -79,12 +79,20 @@ SELECT a.doc_id, k.keep_id FROM h a JOIN keep k ON a.h = k.h
 """
 
 
+# Universal-hash MinHash (mirrors dedup.minhash_signature_table): one md5
+# base hash per shingle, n integer multiply-add-mod permutations with the
+# SAME (a_i, b_i) literals (dedup.perm_constants feeds both engines).
 _MINHASH = """
+shx AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS xs
+  FROM sh WHERE len(s) > 0),
 mh AS MATERIALIZED (
   SELECT doc_id,
          list_transform(range(0, {n_hashes}),
-                        i -> list_min(list_transform(s, x -> md5(i::VARCHAR || '|' || x)))) AS sig
-  FROM sh WHERE len(s) > 0),
+                        i -> list_min(list_transform(xs,
+                             x -> ({a_list}[i+1] * x + {b_list}[i+1]) % {p}))) AS sig
+  FROM shx),
 bandix(band_idx) AS (VALUES {band_values}),
 bands AS MATERIALIZED (
   SELECT doc_id AS id, CAST(band_idx AS INT) AS band_idx,
@@ -94,10 +102,20 @@ bands AS MATERIALIZED (
 
 
 def _minhash_ctes(n_hashes: int = 8, band_size: int = 2, source: str = "documents") -> str:
+    from pgs_spark.operators.dedup import MERSENNE61, perm_constants
+
     n_bands = n_hashes // band_size
     band_values = ", ".join(f"({b})" for b in range(n_bands))
+    consts = perm_constants(n_hashes)
+    a_list = "[" + ", ".join(str(a) for a, _ in consts) + "]"
+    b_list = "[" + ", ".join(str(b) for _, b in consts) + "]"
     return doc_base(source).strip() + ",\n" + _MINHASH.format(
-        n_hashes=n_hashes, band_values=band_values, band_size=band_size
+        n_hashes=n_hashes,
+        band_values=band_values,
+        band_size=band_size,
+        a_list=a_list,
+        b_list=b_list,
+        p=MERSENNE61,
     ).strip()
 
 
