@@ -265,6 +265,66 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "config": {"n_clusters": 4, "iterations": 2, "nprobe": 3},
         "achieved": recall.get("nprobe_3"),
     }
+
+    # Production quantizer (round-4 VERDICT #5): n_clusters=4 meets the
+    # recall target trivially (probing 3 of 4 cells ≈ brute force). Here the
+    # quantizer runs at √n-ish widths {64, 256}, the one-time BUILD is timed
+    # separately from the per-batch QUERY (that's how IVF is deployed — the
+    # index is amortized across the query stream), nprobe is swept upward to
+    # the 0.9 recall target, and the speedup the quantizer actually buys is
+    # measured against the brute-force scan of the SAME query batch.
+    from pgs_spark.operators.similarity import ivf_build, ivf_query
+
+    n_emb = emb.count()
+    brute_sec = timings.get("ann_cosine_topk")
+    prod_ivf = {}
+    for nc in (64, 256):
+        if n_emb < 8 * nc:
+            prod_ivf[f"c{nc}"] = {"skipped": f"n_emb={n_emb} < {8*nc} (8 vecs/cell floor)"}
+            continue
+        built = {}
+
+        def _build(nc=nc, built=built):
+            base_i, cent_i = ivf_build(emb, n_clusters=nc, iterations=2)
+            built["base"], built["cent"] = base_i.persist(), cent_i.persist()
+            return built["base"].count() + built["cent"].count()
+
+        timed(f"ann_ivf_build_c{nc}", _build)
+        sweep = []
+        for p in (1, 2, 4, 8, 16):
+            got_box = {}
+            timed(
+                f"ann_ivf_query_c{nc}_p{p}",
+                lambda p=p, got_box=got_box: got_box.setdefault(
+                    "g",
+                    {
+                        (r["query_id"], r["neighbor_id"])
+                        for r in ivf_query(
+                            built["base"], built["cent"], qs, k=5, nprobe=p
+                        ).collect()
+                    },
+                ),
+            )
+            rec = round(len(truth & got_box["g"]) / len(truth), 4)
+            qsec = timings[f"ann_ivf_query_c{nc}_p{p}"]
+            sweep.append(
+                {
+                    "nprobe": p,
+                    "recall_at_5": rec,
+                    "query_sec": qsec,
+                    "speedup_vs_brute": round(brute_sec / qsec, 2) if brute_sec else None,
+                }
+            )
+            if rec >= 0.9:
+                break
+        built["base"].unpersist()
+        built["cent"].unpersist()
+        prod_ivf[f"c{nc}"] = {
+            "build_sec": timings[f"ann_ivf_build_c{nc}"],
+            "sweep": sweep,
+            "target_hit": sweep[-1]["recall_at_5"] >= 0.9,
+        }
+    extra["ann_ivf_production"] = prod_ivf
     truth_df["t"].unpersist()
     qs.unpersist()
     timed("kmeans_2it", lambda: kmeans_assign(emb, k=4, iterations=2).count())

@@ -68,36 +68,46 @@ def cosine_topk(
     )
 
 
-def ivf_topk(
+def ivf_build(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 3,
     n_clusters: int = 4,
     iterations: int = 2,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF ANN with multi-probe: k-means coarse quantizer → each query
-    searches its `nprobe` NEAREST CENTROIDS' clusters → exact cosine re-rank.
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index ONCE: k-means coarse quantizer over the corpus.
 
-    nprobe=1 recovers the classic single-cell IVF; nprobe>1 is the recall
-    knob — a true neighbor just across a cluster boundary is missed by the
-    single cell but caught by the second-closest one (the reference's
-    CoverTree 1-NN, PGS_CirclePacking.java:199-239, always finds the true
-    neighbor; this bounds how far the approximation is allowed to fall
-    short). Candidates per query are nprobe·|V|/k, and the re-rank is the
-    same whole-stage-codegen dot product as the brute-force baseline.
-    bench.py records measured recall@k vs brute force per nprobe — no
-    silent recall loss."""
-    from pyspark.sql import Window as W
-
-    from pgs_spark.operators.kmeans import _dims, kmeans_fit
+    Returns (base, cent): base = (neighbor_id, nv, cluster) — the inverted
+    file, ready to serve any number of query batches; cent = (c, i, cval)
+    final centroid dims. In production the build is amortized across the
+    query stream (and persisted as a table); benchmarks must time it
+    separately from the per-batch probe+re-rank (`ivf_query`) or the
+    quantizer's one-time cost drowns the latency the index actually buys."""
+    from pgs_spark.operators.kmeans import kmeans_fit
 
     assign, cent = kmeans_fit(embeddings, n_clusters, iterations, id_col, vec_col)
     base = embeddings.join(assign, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "cluster"
     )
+    return base, cent
+
+
+def ivf_query(
+    base: DataFrame,
+    cent: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve one query batch against a prebuilt IVF index (`ivf_build`):
+    rank centroids per query, take the `nprobe` nearest cells, exact cosine
+    re-rank inside them. Candidates per query ≈ nprobe·|V|/n_clusters."""
+    from pyspark.sql import Window as W
+
+    from pgs_spark.operators.kmeans import _dims
+
     # query → squared distance to each FINAL centroid (same expression tree
     # as the quantizer itself, so the oracle mirrors it term for term)
     qd = _dims(queries, id_col, vec_col)
@@ -132,6 +142,34 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 4,
+    iterations: int = 2,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with multi-probe: k-means coarse quantizer → each query
+    searches its `nprobe` NEAREST CENTROIDS' clusters → exact cosine re-rank.
+
+    nprobe=1 recovers the classic single-cell IVF; nprobe>1 is the recall
+    knob — a true neighbor just across a cluster boundary is missed by the
+    single cell but caught by the second-closest one (the reference's
+    CoverTree 1-NN, PGS_CirclePacking.java:199-239, always finds the true
+    neighbor; this bounds how far the approximation is allowed to fall
+    short). Candidates per query are nprobe·|V|/k, and the re-rank is the
+    same whole-stage-codegen dot product as the brute-force baseline.
+    bench.py records measured recall@k vs brute force per nprobe — no
+    silent recall loss — and separately times build vs query at production
+    quantizer widths (n_clusters √n-ish) via `ivf_build`/`ivf_query`,
+    which this convenience wrapper composes."""
+    base, cent = ivf_build(embeddings, n_clusters, iterations, id_col, vec_col)
+    return ivf_query(base, cent, queries, k, nprobe, id_col, vec_col)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
