@@ -394,6 +394,53 @@ def q_lsh_buckets(spark, sf_dir):
     return lsh_buckets(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate keep-list (the vector-space dedup
+    mode): LSH buckets → capped candidate pairs → 6dp-rounded cosine ≥ τ →
+    connected components → min-id keep list. The raw synthetic embeddings
+    have no near-dups (max pairwise cosine 0.51), so the query augments
+    them deterministically — exact clones (+100000, cos 1.0), 0.95/0.05
+    next-vector blends (+200000, cos ≈ 0.9986, above τ=0.99) and 0.70/0.30
+    blends (+300000, cos ≈ 0.92, below τ — the threshold does real work).
+    Oracle: plans/docs_sql.embedding_neardup_sql (same planes, cap,
+    rounding, closure)."""
+    from pgs_spark.operators.similarity import dot, embedding_neardup
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    partner = base.select(F.col("id").alias("pid"), F.col("v").alias("pv"))
+
+    def blend(mod, offset, wa, wb):
+        mixed = (
+            base.filter(F.col("id") % 20 == mod)
+            .join(partner, F.col("pid") == F.col("id") + 1)
+            .select(
+                (F.col("id") + offset).alias("id"),
+                F.zip_with(
+                    "v", "pv", lambda x, y: F.lit(wa) * x + F.lit(wb) * y
+                ).alias("m"),
+            )
+        )
+        nrm = F.sqrt(dot(F.col("m"), F.col("m")))
+        return mixed.select(
+            "id", F.transform("m", lambda x: x / nrm).alias("v")
+        )
+
+    aug = (
+        base.unionByName(
+            base.filter(F.col("id") % 20 == 0).select(
+                (F.col("id") + 100000).alias("id"), "v"
+            )
+        )
+        .unionByName(blend(10, 200000, 0.95, 0.05))
+        .unionByName(blend(5, 300000, 0.7, 0.3))
+        .select(F.col("id").alias("vec_id"), F.col("v").alias("embedding"))
+    )
+    return embedding_neardup(spark, aug, tau=0.99)
+
+
 def _points2d(spark, sf_dir):
     """2D points from the first two embedding dims (float32 → double widens
     exactly, so both engines see identical coordinates)."""
@@ -994,6 +1041,13 @@ def q_sfc_tour(spark, sf_dir):
 # front; the freshest greens rotate out for exactly one round. Rotated-out
 # queries are still machine-verified every round by tests/test_gate_tail.py
 # (the round-3 ADVICE backstop), so no query is ever green-by-assumption.
+#
+# Why 50 (VERDICT r4 #10): 50 is the DRIVER's budget, not ours — rounds 2-4
+# each recorded exactly 50 gated rows while the pool grew 50→62→68, so the
+# driver truncates at 50 regardless of how many entries queries() returns.
+# Raising _GATE_SLOTS here would only reorder which 50 it sees; the
+# auto-rotation + test_gate_tail backstop is the correct shape for a pool
+# larger than the gate, and it stays.
 _GATE_SLOTS = 50
 _GATE_STATE_PATH = os.path.join(os.path.dirname(__file__), "tools", "gate_state.json")
 
@@ -1047,6 +1101,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_buckets": q_lsh_buckets,
+        "embedding_neardup": q_embedding_neardup,
         "closest_pair": q_closest_pair,
         "farthest_pair": q_farthest_pair,
         "gabriel_edges": q_gabriel_edges,
@@ -1256,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_candidates": dsql.simhash_candidates_sql(),
         "ann_cosine_topk": dsql.ann_cosine_sql(),
         "ann_lsh_buckets": dsql.lsh_buckets_sql(),
+        "embedding_neardup": dsql.embedding_neardup_sql(),
         "closest_pair": f"""
             WITH p AS ({PAIR_POINTS_SQL}),
             s AS (SELECT a.id AS a, b.id AS b,

@@ -30,6 +30,7 @@ the dedup/ANN operators already run at that shape.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,6 +65,7 @@ def fr_layout(
     width: float = 1.0,
     checkpoint_dir: str | None = None,
     run_budget: int | None = None,
+    init_positions: DataFrame | None = None,
 ) -> LayoutResult:
     """Canonical undirected edge table (src, dst) → (id, x, y) positions.
 
@@ -88,7 +90,14 @@ def fr_layout(
     time-budgeted-chunk pattern for hours-long layouts at cluster scale);
     the checkpoint carries the remainder — call again to continue. The
     TOTAL iteration count stays part of the program (it parameterizes the
-    cooling schedule) and of the resume fingerprint."""
+    cooling schedule) and of the resume fingerprint.
+
+    `init_positions` overrides the seeded-hash initial placement with a
+    caller-supplied (id, x, y) table — used by the adversarial-clump bench
+    (all vertices seeded into ONE grid cell, the degenerate start where the
+    3×3 cell join briefly sees a quadratic pair set) and by warm-started
+    layouts. A custom init is stamped into the resume fingerprint so a
+    checkpointed run never silently resumes across different starts."""
     sym0 = symmetrize(undirected_edges)
     verts = sym0.select(F.col("src").alias("id")).distinct().persist()
     n = verts.count()
@@ -128,7 +137,8 @@ def fr_layout(
         cp = CheckpointManager(
             spark,
             checkpoint_dir,
-            f"{fingerprint_edges(sym0)}|it={iterations}|seed={seed}|w={width!r}",
+            f"{fingerprint_edges(sym0)}|it={iterations}|seed={seed}|w={width!r}"
+            + ("|init=custom" if init_positions is not None else ""),
         )
         rp = cp.resume_point()
         if rp is None:
@@ -138,15 +148,16 @@ def fr_layout(
 
     work_dir = make_work_dir("pgs_fr_")
     if start_it == 0:
-        pos = snapshot(
-            verts.select(
+        init = (
+            init_positions.select("id", "x", "y")
+            if init_positions is not None
+            else verts.select(
                 "id",
                 (_hash_unit(F.col("id"), "x", seed) * width).alias("x"),
                 (_hash_unit(F.col("id"), "y", seed) * width).alias("y"),
-            ).coalesce(round_p),
-            work_dir,
-            "pos_0",
+            )
         )
+        pos = snapshot(init.coalesce(round_p), work_dir, "pos_0")
 
     history: list[dict] = []
     # NOTE: session-global shuffle width + AQE off for the loop (restored in
@@ -160,6 +171,7 @@ def fr_layout(
     done_it = start_it
     try:
         for it in range(start_it + 1, iterations + 1):
+            it_t0 = time.time()
             t = (width / 10.0) * (1.0 - (it - 1) / float(iterations))
             pos_new = _fr_iteration(sym, pos, k, r_cut, t, width)
             if cp is not None:
@@ -170,7 +182,15 @@ def fr_layout(
                 cp.prune(keep_last=2)
             else:
                 pos = snapshot(pos_new.coalesce(round_p), work_dir, f"pos_{it % 2}")
-            history.append({"iteration": it, "temperature": t})
+            # snapshot/save materialize the superstep, so this wall time is
+            # the real per-iteration cost (the clump bench reads it)
+            history.append(
+                {
+                    "iteration": it,
+                    "temperature": t,
+                    "seconds": round(time.time() - it_t0, 3),
+                }
+            )
             done_it = it
             if run_budget is not None and it - start_it >= run_budget:
                 break

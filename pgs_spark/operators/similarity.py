@@ -215,3 +215,63 @@ def lsh_candidate_pairs(
     return capped_bucket_pairs(
         buckets.persist(), ["bucket"], "id", max_bucket, stats_out
     )
+
+
+def embedding_neardup(
+    spark,
+    embeddings: DataFrame,
+    tau: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(vec_id, keep_id): embedding-COSINE near-duplicate resolution — the
+    vector-space sibling of dedup.dedup_keep_list (same composition as the
+    reference's stochasticMerge pipeline, PGS_Meshing.java:727-738: cut
+    edges → connectedSets() → per-component aggregate):
+
+      candidates = random-hyperplane LSH buckets (lsh_buckets — identical
+                   vectors always collide; near-identical ones collide
+                   unless a perturbation flips a plane sign, the standard
+                   LSH recall trade), hot buckets star-capped
+      verified   = candidate pairs with ROUND(cos, 6) >= tau (embeddings
+                   are unit-norm, so dot IS cosine — 6dp rounding makes
+                   the threshold cross-engine exact)
+      keep_id    = min vec_id of the verified-pair connected component;
+                   unmatched vectors keep themselves
+
+    Never all-pairs: pair generation is bucketed and capped, verification
+    touches candidates only, and CC is the alternating-star loop — each
+    piece already shaped for the 100-TB corpus. The DuckDB oracle
+    (plans/docs_sql.embedding_neardup_sql) replays the identical planes,
+    cap, threshold, and closure, so the gate match is exact including LSH
+    recall losses."""
+    from pgs_spark.operators.components import connected_components
+
+    emb = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).persist()
+    buckets = lsh_buckets(
+        emb, n_planes, dim, seed, id_col="id", vec_col="v"
+    )
+    pairs = lsh_candidate_pairs(buckets, max_bucket, stats_out)
+    va = emb.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    verified = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .filter(F.round(dot(F.col("va"), F.col("vb")), 6) >= F.lit(tau))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    comp = connected_components(spark, verified).components
+    all_ids = emb.select("id").distinct()
+    out = all_ids.join(comp, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("keep_id"),
+    )
+    emb.unpersist()
+    return out

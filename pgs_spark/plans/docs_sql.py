@@ -265,16 +265,79 @@ WHERE rnk <= {k}
 """
 
 
-def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+def _lsh_bucket_terms(
+    vec_expr: str, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> str:
+    """Random-hyperplane bucket id as a SQL expression over `vec_expr` —
+    the identical ±1 md5-parity planes operators/similarity.lsh_buckets
+    inlines, so both engines bucket bit-identically."""
     planes = hyperplanes(n_planes, dim, seed)
-    terms = " + ".join(
-        "(CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_expr}, ["
         + ", ".join(f"{float(x)!r}" for x in p)
         + f"]) > 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+def lsh_buckets_sql(n_planes: int = 8, dim: int = 64, seed: int = 42) -> str:
+    terms = _lsh_bucket_terms("embedding::DOUBLE[]", n_planes, dim, seed)
     return f"""
 SELECT vec_id AS id, CAST({terms} AS INT) AS bucket FROM embeddings
+"""
+
+
+def embedding_neardup_sql(
+    tau: float = 0.99,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    cap: int = 256,
+) -> str:
+    """Embedding-cosine near-dup keep-list oracle (mirrors
+    operators/similarity.embedding_neardup over the augmented corpus built
+    by __spark_entry__.q_embedding_neardup).
+
+    The raw synthetic embeddings contain NO near-dups (max pairwise cosine
+    0.51 at sf0.01), so the query deterministically augments them — the
+    minhash_hot_bucket convention: exact clones (ids+100000, cosine 1.0),
+    0.95/0.05 blends with the next vector (ids+200000, cosine ≈ 0.9986 —
+    above tau) and 0.70/0.30 blends (ids+300000, cosine ≈ 0.92 — below
+    tau, exercising the threshold for real). Bucketing, star capping,
+    6dp-rounded cosine threshold, and the recursive-CTE closure replay the
+    Spark plan term for term, so the match is exact including any LSH
+    recall loss."""
+    terms = _lsh_bucket_terms("v", n_planes, dim, seed)
+    return f"""
+WITH RECURSIVE
+base AS MATERIALIZED (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+mixa AS (
+  SELECT 200000 + a.id AS id,
+         list_transform(list_zip(a.v, b.v), p -> 0.95*p[1] + 0.05*p[2]) AS m
+  FROM base a JOIN base b ON b.id = a.id + 1 WHERE a.id % 20 = 10),
+mixb AS (
+  SELECT 300000 + a.id AS id,
+         list_transform(list_zip(a.v, b.v), p -> 0.7*p[1] + 0.3*p[2]) AS m
+  FROM base a JOIN base b ON b.id = a.id + 1 WHERE a.id % 20 = 5),
+aug AS MATERIALIZED (
+  SELECT id, v FROM base
+  UNION ALL SELECT 100000 + id, v FROM base WHERE id % 20 = 0
+  UNION ALL SELECT id, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) FROM mixa
+  UNION ALL SELECT id, list_transform(m, x -> x / sqrt(list_dot_product(m, m))) FROM mixb),
+bands AS MATERIALIZED (
+  SELECT id, 0 AS band_idx, CAST({terms} AS INT) AS band_hash FROM aug),
+{_CAPPED_PAIRS.format(cap=cap).strip()},
+verified AS MATERIALIZED (
+  SELECT p.a, p.b FROM pairs p
+  JOIN aug x ON x.id = p.a JOIN aug y ON y.id = p.b
+  WHERE ROUND(list_dot_product(x.v, y.v), 6) >= {tau!r}),
+csym AS MATERIALIZED (
+  SELECT a AS u, b AS w FROM verified UNION ALL SELECT b, a FROM verified),
+reach(id, r) AS (
+    SELECT id, id FROM aug
+    UNION
+    SELECT s.u, reach.r FROM csym s JOIN reach ON s.w = reach.id)
+SELECT id AS vec_id, MIN(r) AS keep_id FROM reach GROUP BY id
 """
 
 

@@ -158,3 +158,26 @@ def test_kmeans_deep_iterations_keep_all_rows(spark):
     a_labels = {r["cluster"] for r in assign.select("cluster").distinct().collect()}
     c_labels = {r["c"] for r in cent.select("c").distinct().collect()}
     assert a_labels == c_labels  # centroids exactly cover assignment labels
+
+
+def test_embedding_neardup_clones_collapse_far_blends_survive(spark):
+    """Embedding-cosine near-dup keep-list: an exact clone of v and a
+    slightly-perturbed copy must resolve to v's id; an unrelated unit
+    vector keeps itself. τ=0.99 on unit vectors, dot == cosine."""
+    import math
+
+    from pgs_spark.operators.similarity import embedding_neardup
+
+    d = 8
+    e1 = [1.0] + [0.0] * (d - 1)
+    e2 = [0.0, 1.0] + [0.0] * (d - 2)
+    # perturbed copy of e1: cos = 0.999 (above τ); e2 is orthogonal (below)
+    c = 0.999
+    perturbed = [c] + [math.sqrt(1 - c * c)] + [0.0] * (d - 2)
+    rows = [(0, e1), (1, e1), (2, perturbed), (3, e2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["keep_id"]
+        for r in embedding_neardup(spark, emb, tau=0.99, dim=d).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3}

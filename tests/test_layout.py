@@ -166,3 +166,21 @@ def test_circle_pack_checkpoint_resume(spark, tmp_path):
     ps = {r["id"]: (r["x"], r["y"]) for r in straight.positions.collect()}
     ids = sorted(pr)
     assert np.allclose([pr[i] for i in ids], [ps[i] for i in ids], atol=1e-12, rtol=0)
+
+
+def test_layout_init_positions_and_iter_timing(spark):
+    """`init_positions` overrides the seeded start (the adversarial-clump
+    bench hook, VERDICT r4 #9) and history records real per-iteration wall
+    seconds. A clumped start must still end inside the box and must differ
+    from the hash-seeded run after one iteration."""
+    e = edges_df(spark, TWO_CLIQUES)
+    ids = e.selectExpr("src as id").union(e.selectExpr("dst as id")).distinct()
+    clump = ids.selectExpr("id", "0.01 as x", "0.01 as y")
+    a = fr_layout(spark, e, iterations=2, seed=1337, init_positions=clump)
+    b = fr_layout(spark, e, iterations=2, seed=1337)
+    pa = {r["id"]: (r["x"], r["y"]) for r in a.positions.collect()}
+    pb = {r["id"]: (r["x"], r["y"]) for r in b.positions.collect()}
+    assert set(pa) == set(pb) and pa != pb
+    assert all(0.0 <= x <= 1.0 and 0.0 <= y <= 1.0 for x, y in pa.values())
+    assert [h["iteration"] for h in a.history] == [1, 2]
+    assert all(h["seconds"] > 0 for h in a.history)
