@@ -441,6 +441,96 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup(spark, aug, tau=0.99)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality metrics per document: the share of
+    the doc's bigrams taken by its single most frequent bigram, and the
+    duplicate-trigram fraction (1 − distinct/total). Both are plain
+    explode→groupBy aggregations over the same shingle construction the
+    dedup chain uses — JVM column exprs end to end, map-side partial
+    aggregation, never all-pairs. Oracle: plans/docs_sql.repetition_stats_sql."""
+    from pgs_spark.functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    bi = tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 2)).alias("g")
+    )
+    bstat = (
+        bi.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bi"))
+    )
+    tri = tok.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("w"), 3)).alias("g")
+    )
+    tstat = (
+        tri.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("d_tri"), F.sum("c").alias("n_tri"))
+    )
+    return bstat.join(tstat, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.col("top_c").cast("double") / F.col("n_bi").cast("double"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.lit(1.0) - F.col("d_tri").cast("double") / F.col("n_tri").cast("double"),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII detection + redaction over the documents table. The synthetic
+    corpus contains no PII, so the query deterministically plants emails
+    (doc_id % 7 == 0) and phone numbers (doc_id % 11 == 3) before
+    scrubbing — the augmentation convention of minhash_hot_bucket /
+    embedding_neardup. Patterns stay inside the RE2∩Java-regex common
+    subset so both engines match identically; all JVM regexp exprs, no
+    UDFs. Oracle: plans/docs_sql.pii_scrub_sql."""
+    from pgs_spark.plans.docs_sql import PII_EMAIL, PII_PHONE
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 3, F.lit(" call 555-0142 soon")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_EMAIL), 0)).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(PII_PHONE), 0)).cast("long").alias("n_phone"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup: readStream → sha256 content hash → stateful
+    min-doc_id-per-hash aggregation → availableNow drain. min() is
+    arrival-order-insensitive, so the drained state equals the batch
+    GROUP BY exactly. Oracle: plans/docs_sql.stream_dedup_sql."""
+    from pgs_spark.streaming.windows import streaming_dedup_keep
+
+    return streaming_dedup_keep(spark, f"{sf_dir}/documents.parquet")
+
+
 def _points2d(spark, sf_dir):
     """2D points from the first two embedding dims (float32 → double widens
     exactly, so both engines see identical coordinates)."""
@@ -1102,6 +1192,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine,
         "ann_lsh_buckets": q_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "stream_dedup": q_stream_dedup,
         "closest_pair": q_closest_pair,
         "farthest_pair": q_farthest_pair,
         "gabriel_edges": q_gabriel_edges,
@@ -1312,6 +1405,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": dsql.ann_cosine_sql(),
         "ann_lsh_buckets": dsql.lsh_buckets_sql(),
         "embedding_neardup": dsql.embedding_neardup_sql(),
+        "repetition_stats": dsql.repetition_stats_sql(),
+        "pii_scrub": dsql.pii_scrub_sql(),
+        "stream_dedup": dsql.stream_dedup_sql(),
         "closest_pair": f"""
             WITH p AS ({PAIR_POINTS_SQL}),
             s AS (SELECT a.id AS a, b.id AS b,

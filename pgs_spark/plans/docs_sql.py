@@ -417,3 +417,74 @@ SELECT lang, COUNT(*) AS n_docs,
        ROUND(AVG(quality), 6) AS avg_quality_r
 FROM q WHERE quality >= {min_quality!r} GROUP BY lang
 """
+
+
+def repetition_stats_sql() -> str:
+    """Gopher-style repetition metrics oracle (mirrors
+    __spark_entry__.q_repetition_stats): top-bigram fraction (share of the
+    doc's bigrams taken by its most frequent bigram) and duplicate-trigram
+    fraction (1 − distinct/total trigrams), 6dp-rounded."""
+    return r"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+bi AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+    ELSE [] END) AS g FROM docs),
+tri AS (
+  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+    list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+    ELSE [] END) AS g FROM docs),
+bstat AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bi
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id),
+tstat AS (
+  SELECT doc_id, COUNT(*) AS d_tri, SUM(c) AS n_tri
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       ROUND(CAST(top_c AS DOUBLE) / CAST(n_bi AS DOUBLE), 6) AS top_bigram_frac,
+       ROUND(1.0 - CAST(d_tri AS DOUBLE) / CAST(n_tri AS DOUBLE), 6) AS dup_trigram_frac
+FROM bstat b JOIN tstat t USING (doc_id)
+"""
+
+
+PII_EMAIL = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub_sql() -> str:
+    """PII scrub oracle (mirrors __spark_entry__.q_pii_scrub): the query
+    deterministically plants emails (doc_id % 7 == 0) and phone numbers
+    (doc_id % 11 == 3) — the synthetic corpus contains none — then counts
+    matches and measures the scrubbed text. Patterns are the RE2∩Java-regex
+    common subset, so both engines match identically; DuckDB needs the 'g'
+    flag to mirror Spark's replace-all."""
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 3 THEN ' call 555-0142 soon' ELSE '' END
+         AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(length(regexp_replace(regexp_replace(t, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                                  '{PII_PHONE}', '[PHONE]', 'g')) AS BIGINT)
+         AS scrubbed_len
+FROM aug
+"""
+
+
+def stream_dedup_sql() -> str:
+    """Batch twin of streaming/windows.streaming_dedup_keep: the streaming
+    min-per-content-hash state after draining all input equals the batch
+    group-by exactly (min is arrival-order-insensitive)."""
+    return """
+SELECT sha256(text) AS hh, MIN(doc_id) AS keep_id FROM documents GROUP BY hh
+"""

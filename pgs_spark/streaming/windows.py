@@ -69,3 +69,49 @@ def windowed_event_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_dedup_keep(
+    spark: SparkSession, docs_parquet: str
+) -> DataFrame:
+    """STREAMING exact dedup: readStream over the documents parquet →
+    content hash → stateful ``groupBy(hash).agg(min(doc_id))`` →
+    availableNow drain. Returns the final (hh, keep_id) table.
+
+    min() is order-insensitive, so the result is deterministic regardless
+    of file-split arrival order and equals the batch twin
+    ``SELECT sha256(text), MIN(doc_id) GROUP BY 1`` exactly — the oracle.
+
+    At scale: state is one row per DISTINCT content hash. The unbounded
+    deployment runs this in update mode with a foreachBatch upsert into the
+    keep-list store (streaming/foreach_sink.py shape) so only changed hashes
+    flow per trigger; complete-mode-to-memory here is the test-scale drain
+    that keeps the query oracle-checkable."""
+    import os
+
+    batch_schema = spark.read.parquet(docs_parquet).schema
+    if os.path.isdir(docs_parquet):
+        reader = spark.readStream.schema(batch_schema)
+        src = docs_parquet
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", os.path.basename(docs_parquet)
+        )
+        src = os.path.dirname(docs_parquet)
+    agg = (
+        reader.parquet(src)
+        .select(F.sha2(F.col("text"), 256).alias("hh"), "doc_id")
+        .groupBy("hh")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -36,17 +36,29 @@ def run_one(sf_dir: str, cpus: int) -> dict:
     )
     cs = customer_supplier_edges(spark, sf_dir).persist()
     n_edges = cs.count()
-    t0 = time.time()
-    res = pagerank(spark, cs, fixed_iterations=10)
-    n = res.ranks.count()
-    secs = round(time.time() - t0, 3)
-    per_superstep = [round(h["seconds"], 3) for h in res.history]
+    # R in-JVM repeats: the headline measures this query mid-run in a WARM
+    # JVM (dozens of queries already JIT-compiled the hot paths), so the
+    # fresh-JVM first repeat is cold-start evidence and the later repeats
+    # are the steady-state number comparable to the headline reading.
+    repeats = int(os.environ.get("PGS_MINOF_REPEATS", "3"))
+    reps = []
+    n = None
+    for _ in range(repeats):
+        t0 = time.time()
+        res = pagerank(spark, cs, fixed_iterations=10)
+        n = res.ranks.count()
+        reps.append(
+            {
+                "secs": round(time.time() - t0, 3),
+                "superstep_secs": [round(h["seconds"], 3) for h in res.history],
+            }
+        )
     spark.stop()
     return {
-        "secs": secs,
+        "secs": min(r["secs"] for r in reps),
         "rows": n,
         "edges": n_edges,
-        "superstep_secs": per_superstep,
+        "repeats": reps,
     }
 
 
