@@ -45,6 +45,7 @@ LAYOUT_ITERS = 3  # gate-scale FR iterations (bench runs the reference's 50)
 PACK_ITERS = 3  # gate-scale circle-pack iterations
 LPA_ITERS = 3
 BFS_HOPS = 8
+HB_STEPS = 3  # HyperBall gate-scale supersteps
 
 
 # --------------------------------------------------------------------------
@@ -180,6 +181,16 @@ def q_bfs(spark, sf_dir):
     e = _dense(spark, sf_dir).persist()
     source = e.agg(F.min(F.least("src", "dst"))).first()[0]
     return bfs_distances(spark, e, int(source), max_hops=BFS_HOPS)
+
+
+def q_neighborhood_est(spark, sf_dir):
+    """HyperBall neighborhood function (operators/hyperball.py): per-vertex
+    HLL estimate of the 3-hop ball size on the dense co-purchase graph —
+    the all-sources companion to bfs_distances, relational register layout,
+    cross-engine-exact dyadic estimate. Oracle: osql.hyperball_sql."""
+    from pgs_spark.operators.hyperball import hyperball
+
+    return hyperball(spark, _dense(spark, sf_dir), supersteps=HB_STEPS)
 
 
 def q_pricing_agg(spark, sf_dir):
@@ -479,6 +490,78 @@ def q_repetition_stats(spark, sf_dir):
             F.lit(1.0) - F.col("d_tri").cast("double") / F.col("n_tri").cast("double"),
             6,
         ).alias("dup_trigram_frac"),
+    )
+
+
+def q_lm_score(spark, sf_dir):
+    """Corpus bigram-LM quality score (the CCNet-style signal): per-doc
+    average ln p(w2|w1) under the corpus-wide MLE bigram model,
+    p = c(w1 w2)/c(w1 ·) with c(w1 ·) counting bigram instances starting
+    with w1. Two count aggregations (map-side combinable) + two joins of
+    the instance table against them — at 100 TB the count tables shuffle on
+    the n-gram key (hot n-grams absorbed by partial agg) and the per-doc
+    average is a third combinable groupBy; nothing is ever all-pairs.
+    ln() is the only libm call; the 6dp round after the average buries its
+    1-ulp cross-engine slack. Oracle: plans/docs_sql.lm_score_sql."""
+    from pgs_spark.functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    bi = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_w"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("_w"), 2)).alias("g"))
+        .withColumn("w1", F.substring_index("g", " ", 1))
+        .persist()
+    )
+    cg = bi.groupBy("g").agg(F.count("*").alias("cg"))
+    cw = bi.groupBy("w1").agg(F.count("*").alias("cw"))
+    return (
+        bi.join(cg, "g")
+        .join(cw, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cg").cast("double") / F.col("cw").cast("double"))), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
+NOVELTY_K = 4  # 74% of sf0.01 docs share at least one 4-gram — non-degenerate
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Cross-document n-gram novelty (RefinedWeb/Dolma duplication signal,
+    one step below near-dup clustering): per doc, the fraction of its
+    DISTINCT 4-shingles appearing in ≥ 2 documents. distinct → df count →
+    semi-join back: all key-partitioned aggregations, never all-pairs.
+    Oracle: plans/docs_sql.ngram_novelty_sql."""
+    from pgs_spark.functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", tokens(F.col("text")).alias("_w"))
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(shingles_from_tokens(F.col("_w"), NOVELTY_K))
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    df_tab = sh.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        sh.join(df_tab, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.round(
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 
@@ -1193,6 +1276,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": q_lsh_buckets,
         "embedding_neardup": q_embedding_neardup,
         "repetition_stats": q_repetition_stats,
+        "lm_score": q_lm_score,
+        "ngram_novelty": q_ngram_novelty,
         "pii_scrub": q_pii_scrub,
         "stream_dedup": q_stream_dedup,
         "closest_pair": q_closest_pair,
@@ -1217,6 +1302,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex": q_triangles_per_vertex,
         "brand_graph": q_brand_graph,
         "bfs_distances": q_bfs,
+        "neighborhood_est": q_neighborhood_est,
         "pricing_agg": q_pricing_agg,
         "topk_per_group": q_topk_per_group,
         "groupwise_argmax_filter": q_groupwise_argmax_filter,
@@ -1406,6 +1492,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_buckets": dsql.lsh_buckets_sql(),
         "embedding_neardup": dsql.embedding_neardup_sql(),
         "repetition_stats": dsql.repetition_stats_sql(),
+        "lm_score": dsql.lm_score_sql(),
+        "ngram_novelty": dsql.ngram_novelty_sql(NOVELTY_K),
         "pii_scrub": dsql.pii_scrub_sql(),
         "stream_dedup": dsql.stream_dedup_sql(),
         "closest_pair": f"""
@@ -1503,6 +1591,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY brand_a, brand_b
         """,
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),
+        "neighborhood_est": osql.hyperball_sql(dense, supersteps=HB_STEPS),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 0) AS sum_qty,

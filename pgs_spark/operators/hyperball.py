@@ -1,0 +1,122 @@
+"""HyperBall neighborhood function — per-vertex ball-cardinality estimates.
+
+The web-scale companion to BFS (operators/traversal.py): where distanceTree
+(PGS_Contour.java:718-740) returns exact hop distances from ONE source,
+HyperBall (Boldi–Vigna 2013, built on Flajolet et al.'s HyperLogLog) runs the
+frontier expansion from EVERY vertex at once, replacing each vertex's
+visited-set with an m-register HLL sketch. After t supersteps, vertex v's
+sketch estimates |ball(v, t)| — the t-hop neighborhood size — and the sum
+over vertices is the graph's neighborhood function N(t), the standard
+effective-diameter / centrality-sweep primitive on 10^12-edge link graphs
+where per-vertex exact BFS is unthinkable.
+
+Layout choice (100-TB rationale): the textbook HyperBall keeps one packed
+register ARRAY per vertex and merges arrays elementwise. Spark has no
+elementwise-max aggregate over array columns, so the array form needs either
+``collect_list`` per group (hub-degree memory blowup) or an interpreted
+higher-order fold (no codegen — the measured ~15× HOF penalty,
+operators/dedup.py). Instead the sketch lives RELATIONALLY as one row per
+OBSERVED (vertex, register): ``(id, j, rho)`` with the running max in
+``rho``. The superstep is then exactly the engine's gather-scatter shape —
+one equi-join with the edge table plus one codegen groupBy(id, j).agg(max) —
+map-side partial aggregation absorbs dst-side hubs, AQE/salting handles the
+rest, and state is bounded by m·|V| rows of three small ints. The m-fold
+row blowup vs packed arrays is the price of staying in whole-stage codegen
+with skew-safe shuffles; at m=16 it is a constant the scan rate dominates.
+
+Determinism: registers derive from md5(vertex id) — register index j = the
+first hex nibble, rho = leading-zero count of the next 16 bits + 1 (computed
+as 17 − bitlength via ``bin()``, identical in Spark and DuckDB — no libm).
+The estimate divides exact dyadic sums: every 2^−rho term lies on the 2^−17
+grid and the register sum stays < 2^5, so double addition is EXACT in any
+order (≤ 22 mantissa bits used) — the 6dp-rounded estimates are bit-equal
+across engines, giving the unrolled DuckDB oracle
+(plans/oracle_sql.hyperball_sql) an exact match despite floating point.
+
+The raw HLL estimator alpha_m·m²/Σ2^−rho is used WITHOUT the small-range
+linear-counting correction: the correction needs ln(), whose cross-engine
+last-ulp behavior is not contractual, and small balls are exactly where the
+gate's BFS twin already provides exact truth. Documented accuracy at m=16 is
+~26% relative standard error per vertex; averages over vertices concentrate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.edges import symmetrize
+from pgs_spark.operators.state import make_work_dir, snapshot
+
+#: registers per sketch (m = 2^4); alpha_16 is the standard HLL bias constant
+M_REGISTERS = 16
+ALPHA_16 = 0.673
+
+
+def _init_registers(verts: DataFrame) -> DataFrame:
+    """(id, j, rho): each vertex seeds its own register. j = first md5
+    nibble; rho = 17 − bitlength(next 16 md5 bits), i.e. leading zeros + 1,
+    with the all-zero word mapping to rho = 17."""
+    h = F.md5(F.col("id").cast("string"))
+    w = F.conv(F.substring(h, 2, 4), 16, 10).cast("int")
+    return verts.select(
+        "id",
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("j"),
+        F.when(w == 0, F.lit(17))
+        .otherwise(F.lit(17) - F.length(F.bin(w.cast("long"))))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
+def hyperball(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    supersteps: int = 3,
+) -> DataFrame:
+    """(id, est): HLL estimate of |ball(id, supersteps)| on the undirected
+    graph, 6dp-rounded (cross-engine exact — see module docstring).
+
+    Per superstep: state ⋈ edges (gather neighbor registers) ∪ state →
+    groupBy(id, j).max(rho). State snapshots to parquet each round
+    (alternating names — flat lineage, off-heap, the state.py discipline)."""
+    sym = (
+        symmetrize(undirected_edges)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()
+    )
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    work_dir = make_work_dir("pgs_hb_")
+    state = snapshot(_init_registers(verts), work_dir, "st_0")
+    for t in range(1, supersteps + 1):
+        gathered = sym.join(state, sym.v == state.id).select(
+            F.col("u").alias("id"), "j", "rho"
+        )
+        state = snapshot(
+            state.union(gathered).groupBy("id", "j").agg(F.max("rho").alias("rho")),
+            work_dir,
+            f"st_{t % 2}",
+        )
+    # S = (m − observed) · 2^0 + Σ 2^−rho — exact dyadic arithmetic; the
+    # 1/(1<<rho) form avoids libm pow() (exact IEEE divide by a power of two)
+    est = (
+        F.lit(ALPHA_16 * M_REGISTERS * M_REGISTERS)
+        / (
+            (F.lit(M_REGISTERS) - F.count("*")).cast("double")
+            + F.sum(F.lit(1.0) / F.expr("shiftleft(1, rho)").cast("double"))
+        )
+    )
+    out = state.groupBy("id").agg(F.round(est, 6).alias("est"))
+    sym.unpersist()
+    return out
+
+
+def neighborhood_function(
+    spark: SparkSession, undirected_edges: DataFrame, supersteps: int = 3
+) -> DataFrame:
+    """(t, n_est) is intentionally NOT returned per-step here — the gate
+    query exposes per-vertex estimates (richer check); this helper sums them
+    into the scalar neighborhood function N(t) for the final t only."""
+    return hyperball(spark, undirected_edges, supersteps).agg(
+        F.round(F.sum("est"), 6).alias("n_est")
+    )

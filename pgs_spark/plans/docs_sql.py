@@ -488,3 +488,58 @@ def stream_dedup_sql() -> str:
     return """
 SELECT sha256(text) AS hh, MIN(doc_id) AS keep_id FROM documents GROUP BY hh
 """
+
+def _kshingle_expr(k: int) -> str:
+    """k-word shingle list over token array w — the docs_sql mirror of
+    text.shingles_from_tokens for arbitrary k (joins with single spaces,
+    empty when the doc is shorter than k words)."""
+    concat = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(w) >= {k} THEN "
+        f"list_transform(range(1, len(w) - {k - 2}), i -> {concat}) "
+        "ELSE [] END"
+    )
+
+
+def lm_score_sql() -> str:
+    """Corpus bigram-LM quality score oracle (mirrors
+    __spark_entry__.q_lm_score): per-doc average ln p(w2|w1) under the
+    corpus-wide MLE bigram model, p = c(w1 w2) / c(w1 ·), where c(w1 ·)
+    counts bigram INSTANCES starting with w1 — so every probability is a
+    ratio of exact integers and ln() is the only libm call (1-ulp
+    cross-engine divergence, buried by the 6dp round after the average)."""
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, {TOKS} AS w FROM documents),
+bi AS MATERIALIZED (
+  SELECT doc_id, g, split_part(g, ' ', 1) AS w1
+  FROM (SELECT doc_id, unnest({_kshingle_expr(2)}) AS g FROM docs)),
+cg AS MATERIALIZED (SELECT g, COUNT(*) AS cg FROM bi GROUP BY g),
+cw AS MATERIALIZED (SELECT w1, COUNT(*) AS cw FROM bi GROUP BY w1)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln(CAST(cg.cg AS DOUBLE) / CAST(cw.cw AS DOUBLE))), 6) AS avg_logp
+FROM bi JOIN cg USING (g) JOIN cw USING (w1)
+GROUP BY doc_id
+"""
+
+
+def ngram_novelty_sql(k: int = 5) -> str:
+    """Cross-document n-gram novelty oracle (mirrors
+    __spark_entry__.q_ngram_novelty): for each doc, the fraction of its
+    DISTINCT k-shingles that occur in at least one OTHER document
+    (document frequency ≥ 2) — the RefinedWeb/Dolma-style duplication
+    signal one step below full near-dup clustering. Exact integer ratio,
+    single division, 6dp round is cross-engine safe."""
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, {TOKS} AS w FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({_kshingle_expr(k)}) AS g FROM docs)),
+df AS MATERIALIZED (SELECT g, COUNT(*) AS df FROM sh GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_shingles,
+       ROUND(CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+FROM sh JOIN df USING (g)
+GROUP BY doc_id
+"""

@@ -214,3 +214,39 @@ WITH e AS ({edges_sql}),
 sym AS ({sym_cte()})
 SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u
 """
+
+def hyperball_sql(edges_sql: str, supersteps: int = 3) -> str:
+    """Unrolled oracle for operators/hyperball.hyperball: identical register
+    derivation (md5 nibble + 17 − bitlength via bin()), identical superstep
+    (gather ∪ state → MAX per (id, register)), identical raw-HLL estimate.
+    All arithmetic is cross-engine exact — see the operator docstring's
+    dyadic-grid argument — so the 6dp round is decorative, not load-bearing."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"sym AS MATERIALIZED ({sym_cte()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+        "st0 AS MATERIALIZED (SELECT id,"
+        " ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 1))::INT AS j,"
+        " CASE WHEN w = 0 THEN 17 ELSE 17 - length(bin(w)) END AS rho"
+        " FROM (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 2, 4))::INT AS w"
+        " FROM verts))",
+    ]
+    prev = "st0"
+    for t in range(1, supersteps + 1):
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT id, j, MAX(rho) AS rho FROM ("
+            f"SELECT s.u AS id, p.j, p.rho FROM sym s JOIN {prev} p ON s.v = p.id"
+            f" UNION ALL SELECT id, j, rho FROM {prev}) g GROUP BY id, j)"
+        )
+        prev = f"st{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT id,
+       ROUND(0.673 * 256.0 /
+             (CAST(16 - COUNT(*) AS DOUBLE)
+              + SUM(1.0 / CAST(1 << rho AS DOUBLE))), 6) AS est
+FROM {prev} GROUP BY id
+"""
+    )

@@ -51,3 +51,49 @@ def test_fingerprints_deterministic_subset(spark):
     all_hashes = _one(spark, s, lambda c: F.transform(tx.shingles(c), lambda x: F.md5(x)))
     assert set(a) <= set(all_hashes)
     assert all(h[-1] in "048c" for h in a)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_lm_score_invariants(spark, tmp_path, monkeypatch):
+    """avg ln p(w2|w1) is ≤ 0 (probabilities ≤ 1) and exactly 0 for a corpus
+    whose every bigram is deterministic (one continuation per w1)."""
+    import __spark_entry__ as se
+
+    texts = ["a b c a b c", "x y x y"]
+    monkeypatch.setattr(
+        se, "load_table", lambda sp, sf, name: _docs_df(sp, texts)
+    )
+    rows = {r["doc_id"]: r for r in se.q_lm_score(spark, "ignored").collect()}
+    # every w1 has exactly one continuation → p = c(g)/c(w1·) = 1 → ln = 0
+    # except 'c a' vs 'c' must also be deterministic: c appears twice, once
+    # doc-final — bigrams from doc 0: a b, b c, c a, a b, b c → c→a only. OK.
+    assert rows[0]["avg_logp"] == 0.0
+    assert rows[1]["avg_logp"] == 0.0
+    assert rows[0]["n_bigrams"] == 5
+    assert rows[1]["n_bigrams"] == 3
+
+
+def test_lm_score_prefers_predictable(spark, monkeypatch):
+    import __spark_entry__ as se
+
+    texts = ["p q p q p q", "p q p r p s"]  # doc 1's p→{q,r,s} is uncertain
+    monkeypatch.setattr(se, "load_table", lambda sp, sf, name: _docs_df(sp, texts))
+    rows = {r["doc_id"]: r["avg_logp"] for r in se.q_lm_score(spark, "x").collect()}
+    assert rows[0] > rows[1]
+
+
+def test_ngram_novelty_planted_dup(spark, monkeypatch):
+    import __spark_entry__ as se
+
+    shared = "alpha beta gamma delta"  # one full 4-gram, shared by docs 0,1
+    texts = [shared, shared + " extra", "unrelated words only here now"]
+    monkeypatch.setattr(se, "load_table", lambda sp, sf, name: _docs_df(sp, texts))
+    rows = {r["doc_id"]: r for r in se.q_ngram_novelty(spark, "x").collect()}
+    assert rows[0]["dup_frac"] == 1.0  # its single 4-gram appears in doc 1
+    assert rows[2]["dup_frac"] == 0.0
+    assert 0.0 < rows[1]["dup_frac"] < 1.0  # 1 of its 2 shingles is shared
