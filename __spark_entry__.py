@@ -46,6 +46,8 @@ PACK_ITERS = 3  # gate-scale circle-pack iterations
 LPA_ITERS = 3
 BFS_HOPS = 8
 HB_STEPS = 3  # HyperBall gate-scale supersteps
+TRUSS_K = 3
+TRUSS_ROUNDS = 2  # gate-scale fixed peel rounds (oracle-replayable program)
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +193,18 @@ def q_neighborhood_est(spark, sf_dir):
     from pgs_spark.operators.hyperball import hyperball
 
     return hyperball(spark, _dense(spark, sf_dir), supersteps=HB_STEPS)
+
+
+def q_ktruss(spark, sf_dir):
+    """k-truss peel (operators/truss.py): triangle-support threshold peeling
+    on the dense co-purchase graph — the cohesive-core extension of
+    triangle_count, fixed peel rounds for the oracle-replayable program.
+    Oracle: osql.ktruss_sql."""
+    from pgs_spark.operators.truss import ktruss
+
+    return ktruss(
+        spark, _dense(spark, sf_dir), k=TRUSS_K, fixed_rounds=TRUSS_ROUNDS
+    ).edges
 
 
 def q_pricing_agg(spark, sf_dir):
@@ -497,34 +511,10 @@ def q_lm_score(spark, sf_dir):
     """Corpus bigram-LM quality score (the CCNet-style signal): per-doc
     average ln p(w2|w1) under the corpus-wide MLE bigram model,
     p = c(w1 w2)/c(w1 ·) with c(w1 ·) counting bigram instances starting
-    with w1. Two count aggregations (map-side combinable) + two joins of
-    the instance table against them — at 100 TB the count tables shuffle on
-    the n-gram key (hot n-grams absorbed by partial agg) and the per-doc
-    average is a third combinable groupBy; nothing is ever all-pairs.
-    ln() is the only libm call; the 6dp round after the average buries its
-    1-ulp cross-engine slack. Oracle: plans/docs_sql.lm_score_sql."""
-    from pgs_spark.functions.text import shingles_from_tokens, tokens
+    with w1 (operators/corpus.lm_score). Oracle: docs_sql.lm_score_sql."""
+    from pgs_spark.operators.corpus import lm_score
 
-    docs = load_table(spark, sf_dir, "documents")
-    bi = (
-        docs.select("doc_id", tokens(F.col("text")).alias("_w"))
-        .select("doc_id", F.explode(shingles_from_tokens(F.col("_w"), 2)).alias("g"))
-        .withColumn("w1", F.substring_index("g", " ", 1))
-        .persist()
-    )
-    cg = bi.groupBy("g").agg(F.count("*").alias("cg"))
-    cw = bi.groupBy("w1").agg(F.count("*").alias("cw"))
-    return (
-        bi.join(cg, "g")
-        .join(cw, "w1")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(
-                F.avg(F.log(F.col("cg").cast("double") / F.col("cw").cast("double"))), 6
-            ).alias("avg_logp"),
-        )
-    )
+    return lm_score(load_table(spark, sf_dir, "documents"))
 
 
 NOVELTY_K = 4  # 74% of sf0.01 docs share at least one 4-gram — non-degenerate
@@ -533,36 +523,11 @@ NOVELTY_K = 4  # 74% of sf0.01 docs share at least one 4-gram — non-degenerate
 def q_ngram_novelty(spark, sf_dir):
     """Cross-document n-gram novelty (RefinedWeb/Dolma duplication signal,
     one step below near-dup clustering): per doc, the fraction of its
-    DISTINCT 4-shingles appearing in ≥ 2 documents. distinct → df count →
-    semi-join back: all key-partitioned aggregations, never all-pairs.
-    Oracle: plans/docs_sql.ngram_novelty_sql."""
-    from pgs_spark.functions.text import shingles_from_tokens, tokens
+    DISTINCT 4-shingles appearing in ≥ 2 documents
+    (operators/corpus.ngram_novelty). Oracle: docs_sql.ngram_novelty_sql."""
+    from pgs_spark.operators.corpus import ngram_novelty
 
-    docs = load_table(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", tokens(F.col("text")).alias("_w"))
-        .select(
-            "doc_id",
-            F.explode_outer(
-                F.array_distinct(shingles_from_tokens(F.col("_w"), NOVELTY_K))
-            ).alias("g"),
-        )
-        .filter(F.col("g").isNotNull())
-        .persist()
-    )
-    df_tab = sh.groupBy("g").agg(F.count("*").alias("df"))
-    return (
-        sh.join(df_tab, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.round(
-                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("double")
-                / F.count("*").cast("double"),
-                6,
-            ).alias("dup_frac"),
-        )
-    )
+    return ngram_novelty(load_table(spark, sf_dir, "documents"), k=NOVELTY_K)
 
 
 def q_pii_scrub(spark, sf_dir):
@@ -1303,6 +1268,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_graph": q_brand_graph,
         "bfs_distances": q_bfs,
         "neighborhood_est": q_neighborhood_est,
+        "ktruss": q_ktruss,
         "pricing_agg": q_pricing_agg,
         "topk_per_group": q_topk_per_group,
         "groupwise_argmax_filter": q_groupwise_argmax_filter,
@@ -1592,6 +1558,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),
         "neighborhood_est": osql.hyperball_sql(dense, supersteps=HB_STEPS),
+        "ktruss": osql.ktruss_sql(dense, k=TRUSS_K, rounds=TRUSS_ROUNDS),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 0) AS sum_qty,

@@ -292,6 +292,34 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         lambda: greedy_matching(spark, cop_sparse).pairs.count(),
     )
 
+    # HyperBall neighborhood function (round 5): all-sources ball-size
+    # estimation — the relational-register layout costs m=16 rows per
+    # (vertex, observed register), so each superstep is a 16×|E|-row gather
+    # join + codegen groupBy(max); this entry is the measured evidence that
+    # the constant stays scan-dominated rather than blowing up the shuffle.
+    from pgs_spark.operators.hyperball import hyperball
+
+    timed(
+        "hyperball_3it",
+        lambda: hyperball(spark, cop, supersteps=3).count(),
+    )
+
+    # k-truss cohesive core (round 5): triangle-support peeling to
+    # convergence — each round re-runs the degree-oriented wedge join on the
+    # surviving edges, so the per-round cost SHRINKS as the graph peels;
+    # rounds recorded (no silent caps).
+    from pgs_spark.operators.truss import ktruss
+
+    truss_res = {}
+    timed(
+        "ktruss_k3",
+        lambda: truss_res.setdefault(
+            "r", ktruss(spark, cop, k=3, max_rounds=8)
+        ).edges.count(),
+    )
+    extra["ktruss_rounds"] = truss_res["r"].rounds
+    extra["ktruss_converged"] = truss_res["r"].converged
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -348,6 +376,13 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     extra["simhash_pairs"] = timed(
         "dedup_simhash64_band", lambda: simhash_candidates(docs).count()
     )
+
+    # corpus quality signals (round 5): bigram-LM fluency score + n-gram
+    # novelty — count-table aggregation pipelines, never all-pairs.
+    from pgs_spark.operators.corpus import lm_score, ngram_novelty
+
+    timed("lm_score", lambda: lm_score(docs).count())
+    timed("ngram_novelty", lambda: ngram_novelty(docs).count())
     emb = load_table(spark, sf_dir, "embeddings").persist()
     emb.count()
     qs = emb.limit(50).persist()

@@ -42,11 +42,21 @@ def _oriented(und: DataFrame) -> DataFrame:
     )
 
 
-def triangles(spark: SparkSession, edges: DataFrame) -> DataFrame:
+def triangles(
+    spark: SparkSession, edges: DataFrame, ori_out: list | None = None
+) -> DataFrame:
     """All triangles of an edge table (any orientation) → (x, y, z) rows,
-    each triangle exactly once (x = wedge center)."""
+    each triangle exactly once (x = wedge center).
+
+    The oriented edge table is persisted (it feeds both wedge sides and the
+    closing semi-join). One-shot callers let the session reap it; ITERATIVE
+    callers (operators/truss.py peels per round) pass `ori_out` to receive
+    the persisted DataFrame and unpersist it once the round's result is
+    materialized — otherwise every round leaks a cached relation."""
     und = canonicalize(edges)
     ori = _oriented(und).persist()
+    if ori_out is not None:
+        ori_out.append(ori)
     e1 = ori.select(F.col("a"), F.col("b").alias("v"), F.col("db").alias("dv"))
     e2 = ori.select(F.col("a"), F.col("b").alias("w"), F.col("db").alias("dw"))
     wedges = e1.join(e2, "a").filter(

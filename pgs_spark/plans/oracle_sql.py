@@ -250,3 +250,30 @@ SELECT id,
 FROM {prev} GROUP BY id
 """
     )
+
+def ktruss_sql(edges_sql: str, k: int = 3, rounds: int = 2) -> str:
+    """Unrolled oracle for operators/truss.ktruss(fixed_rounds=rounds):
+    per round, ID-ordered triangle enumeration (a<b<c via three canonical
+    edge joins — same triangle set as the engine's degree-oriented wedge
+    join), per-edge support via a 3-role UNION ALL + GROUP BY, then the
+    exact integer threshold cnt >= k-2."""
+    parts = [
+        f"raw AS MATERIALIZED ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,"
+        " greatest(src, dst) AS dst FROM raw WHERE src <> dst)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"tri{r} AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c"
+            f" FROM e{r} e1 JOIN e{r} e2 ON e2.src = e1.dst"
+            f" JOIN e{r} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT src, dst FROM ("
+            f"SELECT src, dst, COUNT(*) AS cnt FROM ("
+            f"SELECT a AS src, b AS dst FROM tri{r}"
+            f" UNION ALL SELECT b, c FROM tri{r}"
+            f" UNION ALL SELECT a, c FROM tri{r}) roles"
+            f" GROUP BY src, dst) sup WHERE cnt >= {k - 2})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM e{rounds}"
