@@ -31,6 +31,8 @@ from pgs_spark.sources.tpch_graph import (
     co_purchase_weighted_edges,
     co_purchase_weighted_sql,
     customer_supplier_edges,
+    order_sequence_edges,
+    order_sequence_sql,
 )
 
 SF0001 = "/root/testdata/sf0.001"
@@ -48,6 +50,14 @@ BFS_HOPS = 8
 HB_STEPS = 3  # HyperBall gate-scale supersteps
 TRUSS_K = 3
 TRUSS_ROUNDS = 2  # gate-scale fixed peel rounds (oracle-replayable program)
+HITS_ITERS = 3  # gate-scale HITS supersteps (oracle unrolls the same count)
+SCC_MINQ = 20  # sparsifies the order-sequence graph to a multi-SCC shape
+SCC_MAXPART = 400  # vertex cap keeps the closure ORACLE tractable (bow-tie:
+# 84 SCCs, giant=306, 81 singletons at sf0.01) — the engine has no such cap
+PACK_CAPACITY = 512  # tokens per training window at gate scale
+PACK_SHARDS = 8
+DECON_K = 5
+DECON_MOD = 41  # eval slice: doc_id % 41 == 0
 
 
 # --------------------------------------------------------------------------
@@ -205,6 +215,55 @@ def q_ktruss(spark, sf_dir):
     return ktruss(
         spark, _dense(spark, sf_dir), k=TRUSS_K, fixed_rounds=TRUSS_ROUNDS
     ).edges
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/hits.py) on the directed
+    customer→supplier purchase graph — bipartite link analysis: hub scores
+    rank customers, authority scores rank suppliers. Fixed supersteps,
+    L2-normalized half-steps, 6dp. Oracle: osql.hits_sql."""
+    from pgs_spark.operators.hits import hits
+
+    e = customer_supplier_edges(spark, sf_dir).persist()
+    return hits(spark, e, fixed_iterations=HITS_ITERS)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py, Trim + FW-BW
+    min-label peeling) on the directed consecutive-lineitem part graph
+    (sources/tpch_graph.order_sequence_edges). Output is the exact SCC
+    partition — convergence-independent, so the oracle is bidirectional
+    transitive closure (osql.scc_sql), tractable at gate scale."""
+    from pgs_spark.operators.scc import strongly_connected_components
+
+    e = order_sequence_edges(spark, sf_dir, SCC_MINQ).filter(
+        (F.col("src") <= SCC_MAXPART) & (F.col("dst") <= SCC_MAXPART)
+    )
+    return strongly_connected_components(spark, e).assignments
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Sequence packing (operators/packing.py): concat-and-chunk the
+    documents corpus into fixed token windows over md5-keyed shards —
+    all-integer window program. Oracle: docs_sql.pack_chunks_sql."""
+    from pgs_spark.operators.packing import pack_chunks
+
+    return pack_chunks(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        n_shards=PACK_SHARDS,
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.decontaminate): flag
+    training docs sharing any k-gram with the held-out eval slice —
+    exact-integer hit counts. Oracle: docs_sql.decontaminate_sql."""
+    from pgs_spark.operators.corpus import decontaminate
+
+    return decontaminate(
+        load_table(spark, sf_dir, "documents"), k=DECON_K, eval_mod=DECON_MOD
+    )
 
 
 def q_pricing_agg(spark, sf_dir):
@@ -1284,6 +1343,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sfc_tour": q_sfc_tour,
         "spanner_weighted": q_spanner_weighted,
         "matching_weighted": q_matching_weighted,
+        "hits": q_hits,
+        "scc": q_scc,
+        "pack_chunks": q_pack_chunks,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1559,6 +1622,15 @@ def oracle_sql() -> dict[str, str]:
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),
         "neighborhood_est": osql.hyperball_sql(dense, supersteps=HB_STEPS),
         "ktruss": osql.ktruss_sql(dense, k=TRUSS_K, rounds=TRUSS_ROUNDS),
+        "hits": osql.hits_sql(CUSTOMER_SUPPLIER_SQL, iterations=HITS_ITERS),
+        "scc": osql.scc_sql(
+            f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
+            f" WHERE src <= {SCC_MAXPART} AND dst <= {SCC_MAXPART}"
+        ),
+        "pack_chunks": dsql.pack_chunks_sql(
+            capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
+        ),
+        "decontaminate": dsql.decontaminate_sql(k=DECON_K, eval_mod=DECON_MOD),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 0) AS sum_qty,

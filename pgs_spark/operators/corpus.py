@@ -78,3 +78,57 @@ def ngram_novelty(
             ).alias("dup_frac"),
         )
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    k: int = 5,
+    eval_mod: int = 41,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C discipline): flag
+    training documents sharing any k-gram with a held-out eval set.
+
+    The eval set is the deterministic slice doc_id % eval_mod == 0 (standing
+    in for an external benchmark table — same join shape either way); every
+    OTHER doc is scored: (doc_id, n_shingles, n_hit, contaminated) where
+    n_hit counts its DISTINCT k-shingles that appear anywhere in the eval
+    set and contaminated = 1 when n_hit >= threshold.
+
+    Scale shape: the eval side collapses to a DISTINCT k-gram key table —
+    benchmarks are tiny relative to a training corpus, so on a cluster this
+    side broadcasts and the training-side explode never reshuffles; here it
+    is an ordinary equi-join the optimizer is free to broadcast. Exact
+    integer output — cross-engine exact. Oracle:
+    plans/docs_sql.decontaminate_sql.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("_w"), k))).alias("g"),
+        )
+    )
+    eval_grams = (
+        sh.filter(F.col("doc_id") % eval_mod == 0).select("g").distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % eval_mod != 0)
+    return (
+        train.join(eval_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.when(F.col("n_hit") >= threshold, F.lit(1)).otherwise(F.lit(0)).alias(
+                "contaminated"
+            ),
+        )
+    )

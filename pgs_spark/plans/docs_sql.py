@@ -543,3 +543,55 @@ SELECT doc_id,
 FROM sh JOIN df USING (g)
 GROUP BY doc_id
 """
+
+
+def pack_chunks_sql(capacity: int = 2048, n_shards: int = 8) -> str:
+    """Concat-and-chunk sequence-packing oracle (mirrors
+    operators/packing.pack_chunks): identical md5 shard key, identical
+    (hash, doc_id) within-shard order, identical running-total window —
+    all-integer arithmetic, so the match is exact, not rounded."""
+    stride = 1 << 40
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|p42'), 1, 4))::BIGINT
+              % {n_shards} AS INT) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || '|p42') AS h,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents WHERE length(trim(text)) > 0),
+spans AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base)
+SELECT doc_id, shard, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_off,
+       CAST(shard AS BIGINT) * {stride}
+           + CAST(FLOOR((cum - n_tokens) / {capacity}) AS BIGINT) AS first_chunk,
+       CAST(shard AS BIGINT) * {stride}
+           + CAST(FLOOR((cum - 1) / {capacity}) AS BIGINT) AS last_chunk
+FROM spans
+"""
+
+
+def decontaminate_sql(k: int = 5, eval_mod: int = 41, threshold: int = 1) -> str:
+    """Benchmark-decontamination oracle (mirrors
+    operators/corpus.decontaminate): eval slice doc_id % eval_mod == 0,
+    distinct-k-gram hit counting against it, exact integers throughout."""
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, {TOKS} AS w FROM documents),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({_kshingle_expr(k)}) AS g FROM docs)),
+ev AS MATERIALIZED (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {eval_mod} = 0)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CASE WHEN SUM(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) >= {threshold}
+            THEN 1 ELSE 0 END AS contaminated
+FROM sh s LEFT JOIN ev ON s.g = ev.g
+WHERE s.doc_id % {eval_mod} <> 0
+GROUP BY s.doc_id
+"""

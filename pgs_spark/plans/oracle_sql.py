@@ -277,3 +277,69 @@ def ktruss_sql(edges_sql: str, k: int = 3, rounds: int = 2) -> str:
             f" GROUP BY src, dst) sup WHERE cnt >= {k - 2})"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT src, dst FROM e{rounds}"
+
+
+def hits_sql(edges_sql: str, iterations: int = 5, round_to: int = 6) -> str:
+    """Unrolled HITS oracle (mirrors operators/hits.hits): per superstep an
+    auth half-step (gather hub along edges, L2-normalize over the raw gather
+    rows, COALESCE missing to 0 AFTER the norm) then the symmetric hub
+    half-step. sqrt is IEEE-correctly-rounded in both engines; gather-sum
+    order slack is buried by the final round — the pagerank_sql contract."""
+    parts = [
+        f"e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}) raw)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM verts)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(h.hub) AS a"
+            f" FROM e JOIN {prev_h} h ON e.src = h.id GROUP BY e.dst)"
+        )
+        parts.append(f"an{i} AS (SELECT sqrt(SUM(a*a)) AS n FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(ar.a, 0) / (SELECT n FROM an{i}) AS auth"
+            f" FROM verts v LEFT JOIN ar{i} ar ON v.id = ar.id)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS h"
+            f" FROM e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)"
+        )
+        parts.append(f"hn{i} AS (SELECT sqrt(SUM(h*h)) AS n FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT v.id,"
+            f" COALESCE(hr.h, 0) / (SELECT n FROM hn{i}) AS hub"
+            f" FROM verts v LEFT JOIN hr{i} hr ON v.id = hr.id)"
+        )
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT h.id, ROUND(h.hub, {round_to}) AS hub_r, ROUND(a.auth, {round_to}) AS auth_r
+FROM h{iterations} h JOIN a{iterations} a ON h.id = a.id
+"""
+    )
+
+
+def scc_sql(edges_sql: str) -> str:
+    """Strongly-connected components oracle via bidirectional transitive
+    closure (the convergence-independent truth operators/scc.py must hit
+    exactly — SCC output is discrete, so no fixed-round replay is needed):
+    scc(v) = MIN over {u : u ⇄ v} ∪ {v}. Tractable at gate scale only —
+    closure is quadratic in SCC size, which is precisely why the engine
+    side runs forward/backward min-label peeling instead."""
+    return f"""
+WITH RECURSIVE raw AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN e ON r.v = e.src
+)
+SELECT a.u AS id, MIN(a.v) AS scc
+FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+GROUP BY a.u
+"""

@@ -130,3 +130,50 @@ def co_purchase_sql(min_quantity: int = 0) -> str:
 
 def co_purchase_weighted_sql(min_quantity: int = 0) -> str:
     return CO_PURCHASE_WEIGHTED_SQL.format(minq=min_quantity)
+
+
+def order_sequence_edges(
+    spark: SparkSession, sf_dir: str, min_quantity: int = 0
+) -> DataFrame:
+    """DIRECTED part→part edges from consecutive surviving line numbers
+    within each order — the toGraph consecutive-pair derivation
+    (operators/edges.py:48; PGS_Conversion.java:1068-1108's ring walk)
+    applied to the order's line sequence. Unlike the canonicalized
+    co-purchase graph this one keeps direction, and cycles arise across
+    orders (A→B in one order, B→A in another), so it exercises real SCC /
+    directed-reachability structure. l_quantity floor sparsifies
+    deterministically. The synthetic lineitem does NOT keep (orderkey,
+    linenumber) unique, so the sequence order is (l_linenumber, l_partkey):
+    total up to exact-duplicate rows, whose LEAD edges are permutation-
+    invariant after the src≠dst filter + DISTINCT."""
+    from pyspark.sql import Window
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= min_quantity)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    return (
+        li.select(
+            F.col("l_partkey").cast("long").alias("src"),
+            F.lead("l_partkey").over(w).cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+ORDER_SEQUENCE_SQL = """
+    SELECT DISTINCT src, dst FROM (
+        SELECT CAST(l_partkey AS BIGINT) AS src,
+               CAST(LEAD(l_partkey) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey) AS BIGINT) AS dst
+        FROM lineitem WHERE l_quantity >= {minq}) s
+    WHERE dst IS NOT NULL AND src <> dst
+"""
+
+
+def order_sequence_sql(min_quantity: int = 0) -> str:
+    return ORDER_SEQUENCE_SQL.format(minq=min_quantity)
