@@ -217,6 +217,16 @@ def q_ktruss(spark, sf_dir):
     ).edges
 
 
+def q_harmonic(spark, sf_dir):
+    """Truncated harmonic centrality via HyperBall per-radius estimates
+    (operators/hyperball.harmonic_centrality) — Boldi–Vigna's centrality
+    sweep; telescoping estimate differences are cross-engine bit-exact.
+    Oracle: osql.harmonic_sql."""
+    from pgs_spark.operators.hyperball import harmonic_centrality
+
+    return harmonic_centrality(spark, _dense(spark, sf_dir), supersteps=HB_STEPS)
+
+
 def q_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/hits.py) on the directed
     customer→supplier purchase graph — bipartite link analysis: hub scores
@@ -1345,6 +1355,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weighted": q_matching_weighted,
         "hits": q_hits,
         "scc": q_scc,
+        "harmonic_centrality": q_harmonic,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
     }
@@ -1623,6 +1634,7 @@ def oracle_sql() -> dict[str, str]:
         "neighborhood_est": osql.hyperball_sql(dense, supersteps=HB_STEPS),
         "ktruss": osql.ktruss_sql(dense, k=TRUSS_K, rounds=TRUSS_ROUNDS),
         "hits": osql.hits_sql(CUSTOMER_SUPPLIER_SQL, iterations=HITS_ITERS),
+        "harmonic_centrality": osql.harmonic_sql(dense, supersteps=HB_STEPS),
         "scc": osql.scc_sql(
             f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
             f" WHERE src <= {SCC_MAXPART} AND dst <= {SCC_MAXPART}"

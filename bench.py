@@ -320,6 +320,32 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     extra["ktruss_rounds"] = truss_res["r"].rounds
     extra["ktruss_converged"] = truss_res["r"].converged
 
+    # HITS (round 5): the two-score link-analysis recurrence on the directed
+    # customer→supplier graph — per superstep two gather joins + two 1-row
+    # norm aggregates, the pagerank plan shape doubled.
+    from pgs_spark.operators.hits import hits as hits_op
+
+    timed("hits_5it", lambda: hits_op(spark, cs, fixed_iterations=5).count())
+
+    # SCC (round 5): Trim + FW-BW min-label peeling on the FULL directed
+    # consecutive-lineitem graph (no gate-scale vertex cap) — peel and
+    # inner-superstep counts recorded, no silent caps.
+    from pgs_spark.operators.scc import strongly_connected_components
+    from pgs_spark.sources.tpch_graph import order_sequence_edges
+
+    oseq = order_sequence_edges(spark, sf_dir, 0)
+    scc_res = {}
+    timed(
+        "scc",
+        lambda: scc_res.setdefault(
+            "r", strongly_connected_components(spark, oseq)
+        ).assignments.count(),
+    )
+    extra["scc_peels"] = len(scc_res["r"].history)
+    extra["scc_inner_supersteps"] = sum(
+        h["inner_supersteps"] for h in scc_res["r"].history
+    )
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -383,6 +409,18 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     timed("lm_score", lambda: lm_score(docs).count())
     timed("ngram_novelty", lambda: ngram_novelty(docs).count())
+
+    # sequence packing + decontamination (round 5): the two remaining
+    # training-pipeline stages — an all-integer sharded window program and
+    # a k-gram join against a (broadcastable) eval-gram table.
+    from pgs_spark.operators.corpus import decontaminate
+    from pgs_spark.operators.packing import pack_chunks
+
+    timed(
+        "pack_chunks",
+        lambda: pack_chunks(docs, capacity=2048, n_shards=32).count(),
+    )
+    timed("decontaminate", lambda: decontaminate(docs, k=5, eval_mod=41).count())
     emb = load_table(spark, sf_dir, "embeddings").persist()
     emb.count()
     qs = emb.limit(50).persist()

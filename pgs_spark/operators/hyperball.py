@@ -120,3 +120,74 @@ def neighborhood_function(
     return hyperball(spark, undirected_edges, supersteps).agg(
         F.round(F.sum("est"), 6).alias("n_est")
     )
+
+
+def _raw_estimate(state: DataFrame) -> DataFrame:
+    """(id, est) UNROUNDED raw-HLL estimate from a register relation —
+    exact dyadic arithmetic (module docstring), so the value is bit-equal
+    across engines before any rounding."""
+    est = (
+        F.lit(ALPHA_16 * M_REGISTERS * M_REGISTERS)
+        / (
+            (F.lit(M_REGISTERS) - F.count("*")).cast("double")
+            + F.sum(F.lit(1.0) / F.expr("shiftleft(1, rho)").cast("double"))
+        )
+    )
+    return state.groupBy("id").agg(est.alias("est"))
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    supersteps: int = 3,
+) -> DataFrame:
+    """(id, harm): truncated harmonic centrality — Boldi–Vigna 2013's
+    headline application of HyperBall:
+
+        H_t(v) = Σ_{r=1..t} (|B(v,r)| − |B(v,r−1)|) / r
+
+    with every |B(v,r)| the raw-HLL estimate of the SAME sketch the
+    neighborhood function uses, read out after each superstep. At radius t
+    this is the centrality sweep a 10^12-edge graph runs instead of
+    all-pairs BFS.
+
+    Cross-engine exactness extends the dyadic argument: each estimate is
+    one correctly-rounded divide of exact dyadic operands, the telescoping
+    differences subtract correctly-rounded doubles in a FIXED expression
+    tree (no aggregation order), and /r (r ≤ t) is one more correctly
+    rounded divide — so the DuckDB oracle (plans/oracle_sql.harmonic_sql),
+    which mirrors the expression structure term for term, matches the 6dp
+    round bit-for-bit. Estimates are monotone in r (register maxima only
+    grow), so terms are nonnegative.
+    """
+    sym = (
+        symmetrize(undirected_edges)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()
+    )
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    work_dir = make_work_dir("pgs_harm_")
+    state = snapshot(_init_registers(verts), work_dir, "st_0")
+    ests = [snapshot(_raw_estimate(state), work_dir, "est_0")]
+    for t in range(1, supersteps + 1):
+        gathered = sym.join(state, sym.v == state.id).select(
+            F.col("u").alias("id"), "j", "rho"
+        )
+        state = snapshot(
+            state.union(gathered).groupBy("id", "j").agg(F.max("rho").alias("rho")),
+            work_dir,
+            f"st_{t % 2}",
+        )
+        ests.append(snapshot(_raw_estimate(state), work_dir, f"est_{t}"))
+    out = ests[0].select("id", F.col("est").alias("e0"))
+    for t in range(1, supersteps + 1):
+        out = out.join(
+            ests[t].select("id", F.col("est").alias(f"e{t}")), "id"
+        )
+    harm = None
+    for t in range(1, supersteps + 1):
+        term = (F.col(f"e{t}") - F.col(f"e{t - 1}")) / F.lit(float(t))
+        harm = term if harm is None else harm + term
+    res = out.select("id", F.round(harm, 6).alias("harm"))
+    sym.unpersist()
+    return res

@@ -343,3 +343,45 @@ SELECT a.u AS id, MIN(a.v) AS scc
 FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
 GROUP BY a.u
 """
+
+
+def harmonic_sql(edges_sql: str, supersteps: int = 3) -> str:
+    """Unrolled truncated-harmonic-centrality oracle (mirrors
+    operators/hyperball.harmonic_centrality): the hyperball_sql register
+    recurrence with a raw estimate read out after EVERY superstep, then the
+    telescoping Σ (est_r − est_{r−1})/r in the same left-associated
+    expression tree — bit-exact cross-engine per the dyadic argument."""
+    est_expr = (
+        "0.673 * 256.0 / (CAST(16 - COUNT(*) AS DOUBLE)"
+        " + SUM(1.0 / CAST(1 << rho AS DOUBLE)))"
+    )
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"sym AS MATERIALIZED ({sym_cte()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+        "st0 AS MATERIALIZED (SELECT id,"
+        " ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 1))::INT AS j,"
+        " CASE WHEN w = 0 THEN 17 ELSE 17 - length(bin(w)) END AS rho"
+        " FROM (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 2, 4))::INT AS w"
+        " FROM verts))",
+        f"est0 AS MATERIALIZED (SELECT id, {est_expr} AS est FROM st0 GROUP BY id)",
+    ]
+    for t in range(1, supersteps + 1):
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT id, j, MAX(rho) AS rho FROM ("
+            f"SELECT s.u AS id, p.j, p.rho FROM sym s JOIN st{t - 1} p ON s.v = p.id"
+            f" UNION ALL SELECT id, j, rho FROM st{t - 1}) g GROUP BY id, j)"
+        )
+        parts.append(
+            f"est{t} AS MATERIALIZED (SELECT id, {est_expr} AS est"
+            f" FROM st{t} GROUP BY id)"
+        )
+    terms = " + ".join(
+        f"(e{t}.est - e{t - 1}.est) / {float(t)!r}" for t in range(1, supersteps + 1)
+    )
+    joins = " ".join(f"JOIN est{t} e{t} USING (id)" for t in range(1, supersteps + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND({terms}, 6) AS harm FROM est0 e0 {joins}"
+    )

@@ -79,3 +79,36 @@ def test_neighborhood_function_is_sum(spark):
     est = _spark_est(spark, PATH5, 2)
     n = neighborhood_function(spark, edges_df(spark, PATH5), 2).collect()[0]["n_est"]
     assert n == pytest.approx(round(sum(est.values()), 6), abs=2e-6)
+
+
+def _harm_oracle(pairs, supersteps):
+    from pgs_spark.plans.oracle_sql import harmonic_sql
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({a}, {b})" for a, b in pairs)
+    sql = harmonic_sql(f"SELECT * FROM (VALUES {vals}) t(src, dst)", supersteps)
+    return {int(i): float(h) for i, h in con.execute(sql).fetchall()}
+
+
+@pytest.mark.parametrize("pairs", [PATH5, STAR10])
+def test_harmonic_oracle_exact(spark, pairs):
+    from pgs_spark.operators.hyperball import harmonic_centrality
+
+    got = {
+        r["id"]: r["harm"]
+        for r in harmonic_centrality(spark, edges_df(spark, pairs), 3).collect()
+    }
+    assert got == _harm_oracle(pairs, 3)
+
+
+def test_harmonic_center_beats_leaf(spark):
+    # star: the hub reaches everyone at distance 1, leaves at distance 2 —
+    # hub centrality must dominate every leaf's (estimates are monotone and
+    # the telescoping terms divide by radius)
+    from pgs_spark.operators.hyperball import harmonic_centrality
+
+    got = {
+        r["id"]: r["harm"]
+        for r in harmonic_centrality(spark, edges_df(spark, STAR10), 2).collect()
+    }
+    assert got[0] > max(got[i] for i in range(1, 11))
