@@ -58,6 +58,7 @@ PACK_CAPACITY = 512  # tokens per training window at gate scale
 PACK_SHARDS = 8
 DECON_K = 5
 DECON_MOD = 41  # eval slice: doc_id % 41 == 0
+LP_MIN_CN = 2  # link prediction: min common neighbors to emit a pair
 
 
 # --------------------------------------------------------------------------
@@ -250,6 +251,30 @@ def q_scc(spark, sf_dir):
         (F.col("src") <= SCC_MAXPART) & (F.col("dst") <= SCC_MAXPART)
     )
     return strongly_connected_components(spark, e).assignments
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition, per community
+    (operators/community.modularity_by_community): the quality score of the
+    class-partitioning family (PGS_Coloring class assignment,
+    stochasticMerge islands — PGS_Meshing.java:693-725). Oracle composes the
+    unrolled lpa_sql as the labels CTE. Oracle: osql.modularity_sql."""
+    from pgs_spark.operators.community import modularity_by_community
+
+    e = _dense(spark, sf_dir).persist()
+    labels = label_propagation(spark, e, max_iter=LPA_ITERS).labels
+    return modularity_by_community(spark, e, labels)
+
+
+def q_link_predict(spark, sf_dir):
+    """Common-neighbor link prediction (operators/community.
+    common_neighbor_links): the triangle wedge join opened instead of closed
+    (TriangleCollector, PGS_Meshing.java:118-129) — distance-2 non-adjacent
+    pairs with CN count + Jaccard (Liben-Nowell–Kleinberg 2003). Exact path
+    at gate scale (no hub cap). Oracle: osql.link_predict_sql."""
+    from pgs_spark.operators.community import common_neighbor_links
+
+    return common_neighbor_links(spark, _dense(spark, sf_dir), min_common=LP_MIN_CN)
 
 
 def q_pack_chunks(spark, sf_dir):
@@ -1358,6 +1383,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
+        "modularity": q_modularity,
+        "link_predict": q_link_predict,
     }
 
 
@@ -1643,6 +1670,10 @@ def oracle_sql() -> dict[str, str]:
             capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
         ),
         "decontaminate": dsql.decontaminate_sql(k=DECON_K, eval_mod=DECON_MOD),
+        "modularity": osql.modularity_sql(
+            dense, osql.lpa_sql(dense, iterations=LPA_ITERS)
+        ),
+        "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 0) AS sum_qty,

@@ -385,3 +385,57 @@ def harmonic_sql(edges_sql: str, supersteps: int = 3) -> str:
         + ",\n".join(parts)
         + f"\nSELECT id, ROUND({terms}, 6) AS harm FROM est0 e0 {joins}"
     )
+
+
+def modularity_sql(edges_sql: str, labels_sql: str, round_to: int = 6) -> str:
+    """Per-community Newman modularity of a labeled partition (mirrors
+    operators/community.modularity_by_community). ``labels_sql`` is any query
+    yielding (id, label) — e.g. the full unrolled lpa_sql — embedded as a
+    CTE. Expression tree matches the engine's exactly (int counts → double
+    divisions) so the pre-round doubles agree bit-for-bit."""
+    return f"""
+WITH me AS MATERIALIZED ({edges_sql}),
+labs AS MATERIALIZED ({labels_sql}),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM me),
+internal AS (
+    SELECT la.label, COUNT(*) AS n_internal
+    FROM me JOIN labs la ON me.src = la.id JOIN labs lb ON me.dst = lb.id
+    WHERE la.label = lb.label GROUP BY la.label),
+msym AS (SELECT src AS u FROM me UNION ALL SELECT dst FROM me),
+degs AS (
+    SELECT l.label, COUNT(*) AS degree_sum
+    FROM msym s JOIN labs l ON s.u = l.id GROUP BY l.label)
+SELECT d.label,
+       COALESCE(i.n_internal, 0) AS n_internal,
+       d.degree_sum,
+       ROUND(CAST(COALESCE(i.n_internal, 0) AS DOUBLE) / mm.m
+             - (CAST(d.degree_sum AS DOUBLE) / (2.0 * mm.m))
+             * (CAST(d.degree_sum AS DOUBLE) / (2.0 * mm.m)),
+             {round_to}) AS modularity_r
+FROM degs d LEFT JOIN internal i ON d.label = i.label CROSS JOIN mm
+"""
+
+
+def link_predict_sql(edges_sql: str, min_common: int = 2, round_to: int = 6) -> str:
+    """Common-neighbor link prediction over canonical undirected edges
+    (mirrors operators/community.common_neighbor_links, exact path —
+    no hub cap): distance-2 non-adjacent pairs with CN count and Jaccard."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+cn AS (
+    SELECT s1.u AS a, s2.v AS b, COUNT(*) AS common_neighbors
+    FROM sym s1 JOIN sym s2 ON s1.v = s2.u
+    WHERE s1.u < s2.v
+    GROUP BY s1.u, s2.v
+    HAVING COUNT(*) >= {min_common}),
+ne AS (
+    SELECT c.* FROM cn c
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.a AND e.dst = c.b))
+SELECT n.a AS src, n.b AS dst, n.common_neighbors,
+       ROUND(CAST(n.common_neighbors AS DOUBLE)
+             / (da.degree + db.degree - n.common_neighbors),
+             {round_to}) AS jaccard_r
+FROM ne n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
+"""

@@ -1,0 +1,120 @@
+"""Modularity + common-neighbor link prediction vs networkx ground truth.
+
+Same discipline as test_matching/test_spanner: seeded random graphs checked
+against the networkx implementation of the published definition, plus the
+FIXTURES.md known-answer graphs."""
+
+import math
+import random
+
+import networkx as nx
+import pytest
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.community import (
+    common_neighbor_links,
+    modularity_by_community,
+)
+from tests.conftest import CYCLE4, TWO_CLIQUES, edges_df
+
+
+def _labels_df(spark, mapping):
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in mapping.items()], "id long, label long"
+    )
+
+
+def _nx_graph(pairs):
+    g = nx.Graph()
+    g.add_edges_from(pairs)
+    return g
+
+
+def test_modularity_two_cliques_matches_networkx(spark):
+    g = _nx_graph(TWO_CLIQUES)
+    labels = {v: (0 if v < 10 else 1) for v in g.nodes}
+    got = modularity_by_community(
+        spark, edges_df(spark, TWO_CLIQUES), _labels_df(spark, labels)
+    ).toPandas()
+    total = got["modularity_r"].sum()
+    want = nx.algorithms.community.modularity(
+        g, [{v for v in g if labels[v] == 0}, {v for v in g if labels[v] == 1}]
+    )
+    assert math.isclose(total, want, abs_tol=2e-6)
+    # perfect split of two cliques: every edge internal
+    assert int(got["n_internal"].sum()) == len(TWO_CLIQUES)
+
+
+def test_modularity_random_graph_matches_networkx(spark):
+    rng = random.Random(42)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(120))
+        if a != b
+    }
+    g = _nx_graph(pairs)
+    labels = {v: v % 4 for v in g.nodes}
+    comms = [{v for v in g if labels[v] == c} for c in range(4)]
+    got = modularity_by_community(
+        spark, edges_df(spark, sorted(pairs)), _labels_df(spark, labels)
+    ).toPandas()
+    want = nx.algorithms.community.modularity(g, [c for c in comms if c])
+    assert math.isclose(got["modularity_r"].sum(), want, abs_tol=1e-5)
+    # degree sums partition 2m exactly
+    assert int(got["degree_sum"].sum()) == 2 * len(pairs)
+
+
+def test_modularity_singleton_partition_is_negative(spark):
+    # all-singletons: n_internal = 0 everywhere, Q = -Σ (d_i/2m)^2 < 0
+    labels = {v: v for v in range(4)}
+    got = modularity_by_community(
+        spark, edges_df(spark, CYCLE4), _labels_df(spark, labels)
+    ).toPandas()
+    assert (got["n_internal"] == 0).all()
+    assert got["modularity_r"].sum() < 0
+
+
+def test_link_predict_matches_networkx_jaccard(spark):
+    rng = random.Random(7)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(25), rng.randrange(25)) for _ in range(90))
+        if a != b
+    }
+    g = _nx_graph(pairs)
+    got = common_neighbor_links(
+        spark, edges_df(spark, sorted(pairs)), min_common=1
+    ).toPandas()
+    want_rows = {}
+    for u, v, j in nx.jaccard_coefficient(g):
+        cn = len(list(nx.common_neighbors(g, u, v)))
+        if cn >= 1 and not g.has_edge(u, v):
+            want_rows[(min(u, v), max(u, v))] = (cn, j)
+    got_rows = {
+        (int(r.src), int(r.dst)): (int(r.common_neighbors), float(r.jaccard_r))
+        for r in got.itertuples()
+    }
+    assert set(got_rows) == set(want_rows)
+    for k, (cn, j) in want_rows.items():
+        assert got_rows[k][0] == cn
+        assert math.isclose(got_rows[k][1], j, abs_tol=2e-6)
+
+
+def test_link_predict_excludes_existing_edges_and_respects_threshold(spark):
+    got = common_neighbor_links(
+        spark, edges_df(spark, TWO_CLIQUES), min_common=2
+    ).toPandas()
+    # two disjoint cliques: every non-adjacent pair is cross-clique with 0
+    # common neighbors -> nothing predicted
+    assert len(got) == 0
+
+
+def test_link_predict_hub_cap_drops_hub_mediated_pairs(spark):
+    star = [(0, i) for i in range(1, 6)]
+    exact = common_neighbor_links(spark, edges_df(spark, star), min_common=1)
+    capped = common_neighbor_links(
+        spark, edges_df(spark, star), min_common=1, max_center_degree=3
+    )
+    # all leaf pairs are mediated by the hub (degree 5) only
+    assert exact.count() == 10
+    assert capped.count() == 0
