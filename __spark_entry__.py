@@ -59,6 +59,9 @@ PACK_SHARDS = 8
 DECON_K = 5
 DECON_MOD = 41  # eval slice: doc_id % 41 == 0
 LP_MIN_CN = 2  # link prediction: min common neighbors to emit a pair
+SPAN_K = 5  # span dedup: span length in tokens
+DSIR_BUCKETS = 256  # dsir: hashed feature buckets
+DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
 
 
 # --------------------------------------------------------------------------
@@ -298,6 +301,39 @@ def q_decontaminate(spark, sf_dir):
 
     return decontaminate(
         load_table(spark, sf_dir, "documents"), k=DECON_K, eval_mod=DECON_MOD
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Domain-mix rebalancing (operators/corpus.stratified_sample): uniform
+    per-language target shares, deterministic md5 keep decision, per-stratum
+    report. Oracle: docs_sql.stratified_sample_sql."""
+    from pgs_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+
+def q_span_dedup(spark, sf_dir):
+    """Duplicated-span coverage (operators/corpus.span_dedup): per-doc
+    fraction of k-token span positions whose span occurs in another doc —
+    the Lee et al. 2021 substring-dedup signal, positional form.
+    Oracle: docs_sql.span_dedup_sql."""
+    from pgs_spark.operators.corpus import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"), k=SPAN_K)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/corpus.dsir_weights): hashed
+    unigram log-likelihood ratio of target slice vs raw corpus, Laplace
+    smoothed — the data-selection score of Xie et al. 2023.
+    Oracle: docs_sql.dsir_weights_sql."""
+    from pgs_spark.operators.corpus import dsir_weights
+
+    return dsir_weights(
+        load_table(spark, sf_dir, "documents"),
+        n_buckets=DSIR_BUCKETS,
+        target_mod=DSIR_MOD,
     )
 
 
@@ -1385,6 +1421,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "modularity": q_modularity,
         "link_predict": q_link_predict,
+        "stratified_sample": q_stratified_sample,
+        "span_dedup": q_span_dedup,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1674,6 +1713,11 @@ def oracle_sql() -> dict[str, str]:
             dense, osql.lpa_sql(dense, iterations=LPA_ITERS)
         ),
         "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
+        "stratified_sample": dsql.stratified_sample_sql(),
+        "span_dedup": dsql.span_dedup_sql(k=SPAN_K),
+        "dsir_weights": dsql.dsir_weights_sql(
+            n_buckets=DSIR_BUCKETS, target_mod=DSIR_MOD
+        ),
         "pricing_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 0) AS sum_qty,

@@ -132,3 +132,199 @@ def decontaminate(
             ),
         )
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Domain-mix rebalancing: deterministic per-stratum downsampling toward
+    target corpus shares (the data-mixing step of a training pipeline —
+    Gopher/LLaMA-style domain weights).
+
+    Per stratum s: rate_s = min(1, target_s·N / n_s) where target_s is the
+    requested share (uniform 1/|S| when ``shares`` is None — pure
+    rebalancing). A doc is kept iff u(doc_id) < rate_s with
+    u = md5(doc_id|seed)[0:6] / 16^6 — the same deterministic unit-uniform
+    used by layout.py, so the decision replays bit-identically in any
+    engine, any partitioning, any run.
+
+    Returns the per-stratum report (stratum, n_docs, n_kept, rate_r): it
+    covers every individual keep decision (n_kept is their sum) while
+    keeping the gate row count at |S|.
+
+    Scale shape: one groupBy for the census (map-side combinable), the
+    |S|-row rate table broadcast back onto the corpus, one filter, one
+    groupBy — a 100-TB corpus makes exactly two shuffle-light passes and the
+    keep decision never leaves the row it applies to.
+    """
+    cnt = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = cnt.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.count("*").cast("double").alias("n_strata"),
+    )
+    if shares is None:
+        target = F.col("n_total") / F.col("n_strata")
+    else:
+        share = F.coalesce(
+            *[
+                F.when(F.col("stratum") == k, F.lit(float(v)))
+                for k, v in sorted(shares.items())
+            ],
+            F.lit(0.0),
+        )
+        target = share * F.col("n_total")
+    rates = cnt.crossJoin(tot).select(
+        "stratum",
+        "n_docs",
+        F.least(F.lit(1.0), target / F.col("n_docs").cast("double")).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|mix{seed}"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(16777216.0)
+    )
+    kept = (
+        docs.select(F.col(strata_col).alias("stratum"), u.alias("u"))
+        .join(rates.select("stratum", "rate"), "stratum")
+        .filter(F.col("u") < F.col("rate"))
+        .groupBy("stratum")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.round("rate", 6).alias("rate_r"),
+        )
+    )
+
+
+def span_dedup(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicated-span coverage (the Lee et al. 2021 substring-dedup signal,
+    positional form): for each doc, the fraction of its k-token span
+    POSITIONS whose span also occurs in at least one OTHER document.
+
+    Differs from ngram_novelty on both axes: every position counts (a span
+    repeated 10× inside one doc weighs 10 positions, not 1 distinct gram)
+    and the frequency is document frequency (COUNT(DISTINCT doc), so a
+    within-doc repeat alone is NOT a duplicate). Exact integer ratio —
+    cross-engine exact. Docs shorter than k tokens drop out.
+
+    Scale shape: the span explosion is the MinHash shingle explosion; the
+    doc-frequency table groups on the span key where partial aggregation
+    absorbs hot spans; one equi-join back. Never all-pairs.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_w"))
+        .select("doc_id", F.explode(shingles_from_tokens(F.col("_w"), k)).alias("g"))
+        .persist()
+    )
+    docfreq = (
+        sh.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("nd"))
+    )
+    return (
+        sh.join(docfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("dup_ratio_r"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = 256,
+    target_mod: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, hashed n-gram
+    variant): score each raw document by how target-like its unigram
+    distribution is, using hashed token buckets and Laplace-smoothed
+    log-likelihood ratios.
+
+    Target = the deterministic slice doc_id % target_mod == 0 (standing in
+    for a curated high-quality corpus — same join shape either way); raw =
+    every other doc, which is what gets scored. Features: token → bucket
+    b = md5(token)[0:6] mod n_buckets. Per bucket,
+    λ_b = ln((ct_b+1)/(CT+B)) − ln((cr_b+1)/(CR+B)); per raw doc,
+    weight = Σ_b n_db·λ_b over its ≤B bucket counts. All counts are exact
+    integers; ln is the only libm call and the per-doc sum spans ≤B terms,
+    so the 6dp round buries cross-engine ulp drift (same argument as
+    lm_score).
+
+    Scale shape: one explode → two bucket censuses (map-side combinable,
+    ≤B rows out) → the B-row λ table broadcasts back onto the per-doc
+    bucket counts. The target side is a census, not a relation — a 100-TB
+    corpus passes twice, shuffling only (doc, bucket) partial counts.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select(
+        "doc_id",
+        (F.conv(F.substring(F.md5("w"), 1, 6), 16, 10).cast("long") % n_buckets).alias(
+            "b"
+        ),
+    )
+    tgt = tok.filter(F.col("doc_id") % target_mod == 0)
+    raw = tok.filter(F.col("doc_id") % target_mod != 0).persist()
+
+    ct = tgt.groupBy("b").agg(F.count("*").alias("ct"))
+    cr = raw.groupBy("b").agg(F.count("*").alias("cr"))
+    ct_tot = tgt.agg(F.count("*").alias("ct_total"))
+    cr_tot = raw.agg(F.count("*").alias("cr_total"))
+    lam = (
+        cr.join(ct, "b", "left")
+        .crossJoin(ct_tot)
+        .crossJoin(cr_tot)
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("ct_total") + F.lit(n_buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("cr_total") + F.lit(n_buckets)).cast("double")
+                )
+            ).alias("lam"),
+        )
+    )
+    n_db = raw.groupBy("doc_id", "b").agg(F.count("*").alias("n_db"))
+    return (
+        n_db.join(lam, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_db").alias("n_tokens"),
+            F.round(F.sum(F.col("n_db").cast("double") * F.col("lam")), 6).alias(
+                "weight_r"
+            ),
+        )
+    )

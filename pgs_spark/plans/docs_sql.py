@@ -595,3 +595,83 @@ FROM sh s LEFT JOIN ev ON s.g = ev.g
 WHERE s.doc_id % {eval_mod} <> 0
 GROUP BY s.doc_id
 """
+
+
+def stratified_sample_sql(seed: int = 42) -> str:
+    """Domain-mix rebalancing oracle (mirrors corpus.stratified_sample,
+    uniform target): per-stratum census -> rate = min(1, (N/|S|)/n_s) ->
+    deterministic md5 unit-uniform keep decision -> per-stratum report.
+    The u < rate comparison uses doubles built from identical expression
+    trees on both engines, so every keep decision replays exactly."""
+    return f"""
+WITH cnt AS MATERIALIZED (
+    SELECT lang AS stratum, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total,
+               CAST(COUNT(*) AS DOUBLE) AS n_strata FROM cnt),
+rates AS MATERIALIZED (
+    SELECT stratum, n_docs,
+           LEAST(1.0, (tot.n_total / tot.n_strata) / CAST(n_docs AS DOUBLE)) AS rate
+    FROM cnt CROSS JOIN tot),
+kept AS (
+    SELECT d.lang AS stratum, COUNT(*) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.stratum
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix{seed}'), 1, 6))::BIGINT
+          / 16777216.0 < r.rate
+    GROUP BY d.lang)
+SELECT r.stratum, r.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+       ROUND(r.rate, 6) AS rate_r
+FROM rates r LEFT JOIN kept k ON r.stratum = k.stratum
+"""
+
+
+def span_dedup_sql(k: int = 5) -> str:
+    """Duplicated-span coverage oracle (mirrors corpus.span_dedup): every
+    span POSITION counts, duplication = document frequency >= 2 via
+    COUNT(DISTINCT doc). Exact integer ratio, single division."""
+    return f"""
+WITH docs AS MATERIALIZED (SELECT doc_id, {TOKS} AS w FROM documents),
+sh AS MATERIALIZED (
+    SELECT doc_id, unnest({_kshingle_expr(k)}) AS g FROM docs),
+df AS MATERIALIZED (
+    SELECT g, COUNT(*) AS nd FROM (SELECT DISTINCT doc_id, g FROM sh) GROUP BY g)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+       ROUND(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio_r
+FROM sh JOIN df USING (g)
+GROUP BY doc_id
+"""
+
+
+def dsir_weights_sql(n_buckets: int = 256, target_mod: int = 7) -> str:
+    """DSIR importance-weight oracle (mirrors corpus.dsir_weights): hashed
+    unigram buckets, Laplace-smoothed target/raw log-likelihood ratio,
+    per-raw-doc weight = sum over bucket counts. ln() is the only libm
+    call; the per-doc sum spans <= n_buckets terms so the 6dp round buries
+    summation-order ulp drift (the lm_score argument)."""
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id,
+           ('0x' || substr(md5(w), 1, 6))::BIGINT % {n_buckets} AS b
+    FROM (SELECT doc_id, unnest({TOKS}) AS w FROM documents)),
+tgt AS MATERIALIZED (SELECT b FROM tok WHERE doc_id % {target_mod} = 0),
+raw AS MATERIALIZED (SELECT doc_id, b FROM tok WHERE doc_id % {target_mod} <> 0),
+ct AS (SELECT b, COUNT(*) AS ct FROM tgt GROUP BY b),
+cr AS (SELECT b, COUNT(*) AS cr FROM raw GROUP BY b),
+ctt AS (SELECT COUNT(*) AS ct_total FROM tgt),
+crt AS (SELECT COUNT(*) AS cr_total FROM raw),
+lam AS MATERIALIZED (
+    SELECT cr.b,
+           ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+              / CAST(ctt.ct_total + {n_buckets} AS DOUBLE))
+           - ln(CAST(cr.cr + 1 AS DOUBLE)
+                / CAST(crt.cr_total + {n_buckets} AS DOUBLE)) AS lam
+    FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN ctt CROSS JOIN crt),
+n_db AS (SELECT doc_id, b, COUNT(*) AS n_db FROM raw GROUP BY doc_id, b)
+SELECT n.doc_id,
+       SUM(n.n_db) AS n_tokens,
+       ROUND(SUM(CAST(n.n_db AS DOUBLE) * l.lam), 6) AS weight_r
+FROM n_db n JOIN lam l ON n.b = l.b
+GROUP BY n.doc_id
+"""

@@ -1,0 +1,118 @@
+"""stratified_sample / span_dedup / dsir_weights — known-answer fixtures and
+invariants (the FIXTURES.md discipline: tiny hand-built inputs, exact
+expectations)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgs_spark.operators.corpus import dsir_weights, span_dedup, stratified_sample
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------- sampling
+
+def _skewed_docs(spark, n_big=80, n_small=20):
+    rows = [(i, f"doc {i}", "en") for i in range(n_big)]
+    rows += [(1000 + i, f"doc {1000 + i}", "fr") for i in range(n_small)]
+    return docs_df(spark, rows)
+
+
+def test_stratified_sample_uniform_rebalances(spark):
+    got = {
+        r.stratum: r
+        for r in stratified_sample(_skewed_docs(spark)).collect()
+    }
+    # uniform target: 100 docs / 2 strata = 50 per stratum
+    assert math.isclose(got["en"].rate_r, 50 / 80, abs_tol=1e-6)
+    assert got["fr"].rate_r == 1.0  # under target -> keep all
+    assert got["fr"].n_kept == 20
+    # md5-uniform keep: expected 50, binomial sd ~4.9 — allow 4 sd
+    assert abs(got["en"].n_kept - 50) < 20
+    assert got["en"].n_docs == 80
+
+
+def test_stratified_sample_is_deterministic(spark):
+    d = _skewed_docs(spark)
+    a = sorted(stratified_sample(d).collect())
+    b = sorted(stratified_sample(d).collect())
+    assert a == b
+
+
+def test_stratified_sample_explicit_shares(spark):
+    got = {
+        r.stratum: r
+        for r in stratified_sample(
+            _skewed_docs(spark), shares={"en": 0.1, "fr": 0.9}
+        ).collect()
+    }
+    # en target 10 of 100 docs from 80 -> rate 0.125; fr target 90 from 20 -> capped 1.0
+    assert math.isclose(got["en"].rate_r, 0.125, abs_tol=1e-6)
+    assert got["fr"].rate_r == 1.0
+
+
+# ---------------------------------------------------------------- span dedup
+
+def test_span_dedup_known_answer(spark):
+    shared = "alpha beta gamma delta epsilon"  # one 5-token span
+    d = docs_df(
+        spark,
+        [
+            (1, shared + " zeta", "en"),  # 2 spans: [0:5] shared, [1:6] unique
+            (2, "x " + shared, "en"),  # 2 spans: [1:6] shared, [0:5] unique
+            (3, "one two three four five six", "en"),  # 2 spans, none shared
+        ],
+    )
+    got = {r.doc_id: r for r in span_dedup(d, k=5).collect()}
+    assert got[1].n_spans == 2 and got[1].n_dup_spans == 1
+    assert math.isclose(got[1].dup_ratio_r, 0.5, abs_tol=1e-6)
+    assert got[2].n_dup_spans == 1
+    assert got[3].n_dup_spans == 0 and got[3].dup_ratio_r == 0.0
+
+
+def test_span_dedup_within_doc_repeat_is_not_duplication(spark):
+    # the same span twice in ONE doc: df(doc)=1 -> not a duplicate
+    d = docs_df(spark, [(1, "a b c d e x a b c d e", "en")])
+    got = span_dedup(d, k=5).collect()[0]
+    assert got.n_dup_spans == 0
+
+
+def test_span_dedup_short_docs_drop_out(spark):
+    d = docs_df(spark, [(1, "only four tokens here", "en")])
+    assert span_dedup(d, k=5).count() == 0
+
+
+# ---------------------------------------------------------------- dsir
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    # target slice = doc_id % 7 == 0 -> docs 0, 7 are target
+    target_text = "quality quality quality signal signal"
+    noise_text = "junk junk junk junk spam spam"
+    d = docs_df(
+        spark,
+        [
+            (0, target_text, "en"),
+            (7, target_text, "en"),
+            (1, target_text, "en"),  # raw doc that LOOKS like target
+            (2, noise_text, "en"),  # raw doc that does not
+            (3, noise_text, "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in dsir_weights(d, n_buckets=64).collect()}
+    assert set(got) == {1, 2, 3}  # only raw docs scored
+    assert got[1].weight_r > got[2].weight_r
+    assert got[2].weight_r == got[3].weight_r  # identical docs, identical score
+    assert got[1].n_tokens == 5
+
+
+def test_dsir_weights_empty_target_slice_still_scores(spark):
+    # no doc_id % 7 == 0 docs: target counts all zero -> pure smoothing,
+    # weights finite and defined
+    d = docs_df(spark, [(1, "a b c", "en"), (2, "d e f", "en")])
+    got = dsir_weights(d, n_buckets=16).collect()
+    assert len(got) == 2
+    assert all(math.isfinite(r.weight_r) for r in got)
