@@ -60,6 +60,7 @@ DECON_K = 5
 DECON_MOD = 41  # eval slice: doc_id % 41 == 0
 LP_MIN_CN = 2  # link prediction: min common neighbors to emit a pair
 SPAN_K = 5  # span dedup: span length in tokens
+PPR_MOD = 17  # personalized PageRank: seed slice id % 17 == 0
 DSIR_BUCKETS = 256  # dsir: hashed feature buckets
 DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
 
@@ -102,6 +103,19 @@ def q_degrees(spark, sf_dir):
 def q_pagerank(spark, sf_dir):
     e = customer_supplier_edges(spark, sf_dir).persist()
     res = pagerank(spark, e, fixed_iterations=PR_ITERS)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank_r"))
+
+
+def q_ppr(spark, sf_dir):
+    """Personalized PageRank / random walk with restart (operators/
+    pagerank.pagerank with personalize_mod): restart distribution uniform
+    over the seed slice id % PPR_MOD == 0, teleport (1−α)·p_i, dangling mass
+    → α·dm·p_i — networkx.pagerank(personalization=...) semantics, join-free
+    p_i. Oracle: osql.pagerank_sql(personalize_mod=...)."""
+    e = customer_supplier_edges(spark, sf_dir).persist()
+    res = pagerank(
+        spark, e, fixed_iterations=PR_ITERS, personalize_mod=PPR_MOD
+    )
     return res.ranks.select("id", F.round("rank", 6).alias("rank_r"))
 
 
@@ -1390,6 +1404,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_degrees": q_weighted_degrees,
         "pagerank": q_pagerank,
         "pagerank_weighted": q_pagerank_weighted,
+        "ppr": q_ppr,
         "connected_components": q_components,
         "coloring": q_coloring,
         "label_propagation": q_lpa,
@@ -1644,6 +1659,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sym GROUP BY src
         """,
         "pagerank": osql.pagerank_sql(CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS),
+        "ppr": osql.pagerank_sql(
+            CUSTOMER_SUPPLIER_SQL, iterations=PR_ITERS, personalize_mod=PPR_MOD
+        ),
         "circle_pack": __import__(
             "pgs_spark.operators.layout", fromlist=["circle_pack_sql"]
         ).circle_pack_sql("SELECT vec_id AS id, CAST(embedding[1] AS DOUBLE) AS x, CAST(embedding[2] AS DOUBLE) AS y, 0.004 + CAST(vec_id % 3 AS DOUBLE) * 0.002 AS r FROM embeddings", iterations=PACK_ITERS),

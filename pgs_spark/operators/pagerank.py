@@ -71,6 +71,7 @@ def pagerank(
     fixed_iterations: int | None = None,
     weight_col: str | None = None,
     extrapolate: bool = False,
+    personalize_mod: int | None = None,
 ) -> PageRankResult:
     """Power-iteration PageRank over a directed edge table (src, dst).
 
@@ -83,6 +84,16 @@ def pagerank(
     rank·w/Σw_src) — the reference's weighted graphs
     (PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933; weighted dual
     graph PGS_Triangulation.java:636-650).
+
+    ``personalize_mod`` switches to PERSONALIZED PageRank (random walk with
+    restart): the restart distribution is uniform over the seed slice
+    S = {v : v.id % personalize_mod == 0} and zero elsewhere — teleport
+    becomes (1−α)·p_i and dangling mass redistributes as α·dm·p_i, matching
+    networkx.pagerank(personalization=...) semantics. A mod-slice seed set
+    keeps the plan join-free (the p_i column is a row-local expression, no
+    |S|-row broadcast), which is the right shape for topic-restricted
+    centrality over a 100-TB link graph; arbitrary seed tables can be
+    re-keyed into a slice upstream.
 
     Heavy-hitter skew splitting AUTO-ENGAGES on the side where skew actually
     hurts — the GATHER JOIN. The persisted edge table is hash-partitioned on
@@ -258,6 +269,16 @@ def pagerank(
         ranks = vstate.select("id", F.lit(1.0 / n).alias("rank"))
 
     teleport = (1.0 - alpha) / n
+    p_of = None
+    if personalize_mod is not None:
+        ns = vstate.filter(F.col("id") % personalize_mod == 0).count()
+        if ns == 0:
+            raise ValueError(
+                f"personalize_mod={personalize_mod}: empty seed slice"
+            )
+        p_of = F.when(
+            F.col("id") % personalize_mod == 0, F.lit(1.0) / F.lit(float(ns))
+        ).otherwise(F.lit(0.0))
     limit = fixed_iterations if fixed_iterations is not None else max_iter
     converged = False
 
@@ -326,8 +347,20 @@ def pagerank(
                 "outdeg",
                 "old_rank",
                 (
-                    F.lit(teleport)
-                    + F.lit(alpha) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
+                    (
+                        F.lit(1.0 - alpha) * p_of
+                        + F.lit(alpha)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(d_mass) * p_of
+                        )
+                    )
+                    if p_of is not None
+                    else (
+                        F.lit(teleport)
+                        + F.lit(alpha)
+                        * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(d_mass / n))
+                    )
                 ).alias("rank"),
             )
         )

@@ -24,6 +24,7 @@ def pagerank_sql(
     alpha: float = 0.85,
     round_to: int = 6,
     weighted: bool = False,
+    personalize_mod: int | None = None,
 ) -> str:
     """Unrolled power iteration with dangling-mass redistribution.
 
@@ -33,6 +34,11 @@ def pagerank_sql(
     (src, dst, weight) and contribution weight is w/Σw_src — the same
     cast-then-divide structure as the engine's weighted path (float-exact
     across engines when the expression tree matches).
+
+    ``personalize_mod`` mirrors the engine's personalized path: restart
+    distribution p_i = 1/|S| over the seed slice id % mod == 0, update
+    r' = (1-a)·p + a·(gather + dm·p) — the same expression tree, so the
+    doubles agree before rounding.
     """
     if weighted:
         odeg = (
@@ -54,6 +60,11 @@ def pagerank_sql(
     ]
     prev = "r0"
     teleport = repr(1.0 - alpha)
+    if personalize_mod is not None:
+        parts.append(
+            "ps AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM verts"
+            f" WHERE id % {personalize_mod} = 0)"
+        )
     for i in range(1, iterations + 1):
         parts.append(
             f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(CASE WHEN outdeg IS NULL THEN rank END), 0) AS dm FROM {prev})"
@@ -62,11 +73,22 @@ def pagerank_sql(
             f"g{i} AS MATERIALIZED (SELECT w.dst AS id, SUM(r.rank * w.w) AS m FROM w JOIN {prev} r "
             f"ON w.src = r.id GROUP BY w.dst)"
         )
-        parts.append(
-            f"r{i} AS MATERIALIZED (SELECT v.id, {teleport}/nn.n + {alpha!r}*(COALESCE(g.m, 0) "
-            f"+ (SELECT dm FROM d{i})/nn.n) AS rank, v.outdeg "
-            f"FROM r0 v CROSS JOIN nn LEFT JOIN g{i} g ON v.id = g.id)"
-        )
+        if personalize_mod is not None:
+            p = (
+                f"(CASE WHEN v.id % {personalize_mod} = 0"
+                " THEN 1.0/(SELECT ns FROM ps) ELSE 0.0 END)"
+            )
+            parts.append(
+                f"r{i} AS MATERIALIZED (SELECT v.id, {teleport}*{p} + {alpha!r}*(COALESCE(g.m, 0) "
+                f"+ (SELECT dm FROM d{i})*{p}) AS rank, v.outdeg "
+                f"FROM r0 v LEFT JOIN g{i} g ON v.id = g.id)"
+            )
+        else:
+            parts.append(
+                f"r{i} AS MATERIALIZED (SELECT v.id, {teleport}/nn.n + {alpha!r}*(COALESCE(g.m, 0) "
+                f"+ (SELECT dm FROM d{i})/nn.n) AS rank, v.outdeg "
+                f"FROM r0 v CROSS JOIN nn LEFT JOIN g{i} g ON v.id = g.id)"
+            )
         prev = f"r{i}"
     return (
         "WITH "

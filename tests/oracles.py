@@ -81,3 +81,29 @@ def random_graph(n, p, seed, directed=False):
             if rng.random() < p:
                 edges.append((a, b))
     return edges
+
+
+def ref_ppr(edges, mod, alpha=0.85, tol=1e-13, max_iter=1000):
+    """Dense numpy personalized PageRank matching the engine's update:
+    rank' = (1-a)*p + a*(gather + dangling_mass*p), p uniform over the
+    id % mod == 0 seed slice (networkx personalization semantics)."""
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = Counter(u for u, _ in edges)
+    seeds = [v for v in nodes if v % mod == 0]
+    p = np.zeros(n)
+    for v in seeds:
+        p[idx[v]] = 1.0 / len(seeds)
+    r = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[u]
+        dmass = sum(r[idx[u]] for u in nodes if u not in outdeg)
+        new = (1 - alpha) * p + alpha * (contrib + dmass * p)
+        delta = np.abs(new - r).sum()
+        r = new
+        if delta < tol:
+            break
+    return {v: r[idx[v]] for v in nodes}

@@ -220,3 +220,34 @@ def test_extrapolation_resume(spark, tmp_path):
     gr, gf = ({r["id"]: r["rank"] for r in res.ranks.collect()} for res in (resumed, full))
     ids = sorted(gf)
     assert np.allclose([gf[i] for i in ids], [gr[i] for i in ids], atol=1e-6)
+
+
+def test_personalized_matches_reference(spark):
+    from tests.oracles import ref_ppr
+
+    pairs = random_graph(n=40, p=0.1, seed=11, directed=True)
+    mod = 5
+    res = pagerank(
+        spark, edges_df(spark, pairs), max_iter=80, tol=1e-10, personalize_mod=mod
+    )
+    got = {int(r.id): float(r.rank) for r in res.ranks.collect()}
+    want = ref_ppr(pairs, mod)
+    for v, w in want.items():
+        assert abs(got[v] - w) < 1e-6, (v, got[v], w)
+
+
+def test_personalized_mass_concentrates_on_seeds(spark):
+    # star with hub 0 (seed): non-seed leaves only receive via the hub
+    res = pagerank(
+        spark, edges_df(spark, STAR10), max_iter=50, tol=1e-10, personalize_mod=100
+    )  # only id 0 satisfies id % 100 == 0
+    ranks = {int(r.id): float(r.rank) for r in res.ranks.collect()}
+    assert ranks[0] > max(v for k, v in ranks.items() if k != 0)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-8
+
+
+def test_personalized_empty_seed_slice_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pagerank(spark, edges_df(spark, [(1, 2)]), personalize_mod=97)
