@@ -61,6 +61,9 @@ DECON_MOD = 41  # eval slice: doc_id % 41 == 0
 LP_MIN_CN = 2  # link prediction: min common neighbors to emit a pair
 SPAN_K = 5  # span dedup: span length in tokens
 PPR_MOD = 17  # personalized PageRank: seed slice id % 17 == 0
+WALK_LEN = 4  # random walks: steps per walk
+WALK_MOD = 3  # random walks: start slice id % 3 == 0
+TFIDF_K = 3  # tf-idf: top terms per doc
 DSIR_BUCKETS = 256  # dsir: hashed feature buckets
 DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
 
@@ -292,6 +295,37 @@ def q_link_predict(spark, sf_dir):
     from pgs_spark.operators.community import common_neighbor_links
 
     return common_neighbor_links(spark, _dense(spark, sf_dir), min_common=LP_MIN_CN)
+
+
+def q_clustering(spark, sf_dir):
+    """Local clustering coefficient (operators/community.
+    clustering_coefficient): 2T_v/(d_v(d_v−1)) composed from the
+    degree-oriented triangle enumeration + degree table — Watts–Strogatz.
+    Oracle: osql.clustering_sql."""
+    from pgs_spark.operators.community import clustering_coefficient
+
+    return clustering_coefficient(spark, _dense(spark, sf_dir))
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic random walks (operators/walks.py): DeepWalk-style
+    corpus generation, one walk per seed-slice vertex, hash-uniform next
+    hop — replayable in any engine/partitioning/retry.
+    Oracle: osql.random_walks_sql."""
+    from pgs_spark.operators.walks import random_walks
+
+    return random_walks(
+        spark, _dense(spark, sf_dir), walk_len=WALK_LEN, start_mod=WALK_MOD
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    """Per-doc top-3 tf·idf terms (operators/corpus.tfidf_top_terms):
+    deterministic feature extraction, ties broken by term.
+    Oracle: docs_sql.tfidf_top_terms_sql."""
+    from pgs_spark.operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=TFIDF_K)
 
 
 def q_pack_chunks(spark, sf_dir):
@@ -1439,6 +1473,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
+        "clustering_coeff": q_clustering,
+        "random_walks": q_random_walks,
+        "tfidf_terms": q_tfidf,
     }
 
 
@@ -1731,6 +1768,11 @@ def oracle_sql() -> dict[str, str]:
             dense, osql.lpa_sql(dense, iterations=LPA_ITERS)
         ),
         "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
+        "clustering_coeff": osql.clustering_sql(dense),
+        "random_walks": osql.random_walks_sql(
+            dense, walk_len=WALK_LEN, start_mod=WALK_MOD
+        ),
+        "tfidf_terms": dsql.tfidf_top_terms_sql(top_k=TFIDF_K),
         "stratified_sample": dsql.stratified_sample_sql(),
         "span_dedup": dsql.span_dedup_sql(k=SPAN_K),
         "dsir_weights": dsql.dsir_weights_sql(

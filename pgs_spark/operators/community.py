@@ -140,3 +140,32 @@ def common_neighbor_links(
             ).alias("jaccard_r"),
         )
     )
+
+
+def clustering_coefficient(
+    spark: SparkSession, edges: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Local clustering coefficient: cc_v = 2·T_v / (d_v·(d_v−1)), 0 when
+    d_v < 2 — Watts–Strogatz 1998, composed from the degree-oriented
+    triangle enumeration (operators/triangles.py) and the degree table.
+    Integer inputs, one division — cross-engine exact. Returns
+    (id, degree, n_triangles, cc_r) for every vertex of the graph."""
+    from pgs_spark.operators.triangles import triangle_counts_per_vertex
+
+    und = canonicalize(edges).persist()
+    tri = triangle_counts_per_vertex(spark, und)
+    deg = degrees(und)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    d = F.col("degree")
+    return deg.join(tri, "id", "left").select(
+        "id",
+        "degree",
+        t.alias("n_triangles"),
+        F.round(
+            F.when(
+                d >= 2,
+                (F.lit(2.0) * t.cast("double")) / (d * (d - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("cc_r"),
+    )

@@ -328,3 +328,51 @@ def dsir_weights(
             ),
         )
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (Spärck Jones 1972):
+    tfidf(t, d) = tf(t,d) · ln(N / df(t)), ties broken by term ascending —
+    deterministic feature extraction for retrieval/quality pipelines.
+
+    Returns (doc_id, term, term_rank, tfidf_r). Both engines build tf and df
+    as exact integers and apply one ln + one multiply, so pre-round doubles
+    agree; the rank window orders by (tfidf DESC, term ASC), and identical
+    doubles make the tie-break identical too.
+
+    Scale shape: tf is one map-side-combinable groupBy over the token
+    explosion; df aggregates tf (already one row per (doc, term)); the
+    window partitions by doc — per-doc cardinality is bounded by vocabulary,
+    never corpus size.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .crossJoin(n_docs)  # 1-row scalar
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs") / F.col("df").cast("double"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select("doc_id", "term", "term_rank", F.round("tfidf", 6).alias("tfidf_r"))
+    )

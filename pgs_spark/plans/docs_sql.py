@@ -675,3 +675,29 @@ SELECT n.doc_id,
 FROM n_db n JOIN lam l ON n.b = l.b
 GROUP BY n.doc_id
 """
+
+
+def tfidf_top_terms_sql(top_k: int = 3) -> str:
+    """tf·idf top-terms oracle (mirrors corpus.tfidf_top_terms): exact
+    integer tf/df, one ln + one multiply, rank window ordered
+    (tfidf DESC, term ASC). Identical expression trees -> identical doubles
+    -> identical tie-breaks."""
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS MATERIALIZED (
+    SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dft AS MATERIALIZED (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(tf.tf AS DOUBLE) * ln(nn.n_docs / CAST(dft.df AS DOUBLE)) AS tfidf
+    FROM tf JOIN dft USING (term) CROSS JOIN nn),
+ranked AS (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term) AS term_rank
+    FROM scored)
+SELECT doc_id, term, term_rank, ROUND(tfidf, 6) AS tfidf_r
+FROM ranked WHERE term_rank <= {top_k}
+"""

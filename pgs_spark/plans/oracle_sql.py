@@ -461,3 +461,53 @@ SELECT n.a AS src, n.b AS dst, n.common_neighbors,
              {round_to}) AS jaccard_r
 FROM ne n JOIN deg da ON n.a = da.id JOIN deg db ON n.b = db.id
 """
+
+
+def clustering_sql(edges_sql: str, round_to: int = 6) -> str:
+    """Local clustering coefficient oracle (mirrors
+    operators/community.clustering_coefficient): per-vertex triangle count
+    via the id-ordered 3-way join credited to all three corners, degree from
+    the symmetrized edges, cc = 2T/(d(d-1))."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+t AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+corners AS (SELECT x AS id FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t),
+tri AS (SELECT id, COUNT(*) AS n_triangles FROM corners GROUP BY id),
+sym AS ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u)
+SELECT d.id, d.degree,
+       COALESCE(t2.n_triangles, 0) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN (2.0 * CAST(COALESCE(t2.n_triangles, 0) AS DOUBLE))
+                       / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                  ELSE 0.0 END, {round_to}) AS cc_r
+FROM deg d LEFT JOIN tri t2 ON d.id = t2.id
+"""
+
+
+def random_walks_sql(
+    edges_sql: str, walk_len: int = 4, start_mod: int = 3, seed: int = 42
+) -> str:
+    """Unrolled deterministic-walk oracle (mirrors operators/walks.py): per
+    step, the next hop is the neighbor minimizing (md5(walk|seed,step|v), v)
+    — replayed with a ROW_NUMBER window, which selects the same struct-min."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"sym AS MATERIALIZED ({sym_cte()})",
+        "s0 AS MATERIALIZED (SELECT DISTINCT u AS walk_id, u AS vertex FROM sym"
+        f" WHERE u % {start_mod} = 0)",
+    ]
+    selects = ["SELECT walk_id, 0 AS step, vertex FROM s0"]
+    for t in range(1, walk_len + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT walk_id, vertex FROM ("
+            f"SELECT c.walk_id, s.v AS vertex,"
+            f" ROW_NUMBER() OVER (PARTITION BY c.walk_id ORDER BY"
+            f" md5(CAST(c.walk_id AS VARCHAR) || '|w{seed}s{t}|' || CAST(s.v AS VARCHAR)), s.v) AS rn"
+            f" FROM s{t - 1} c JOIN sym s ON c.vertex = s.u) WHERE rn = 1)"
+        )
+        selects.append(f"SELECT walk_id, {t} AS step, vertex FROM s{t}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)

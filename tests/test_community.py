@@ -118,3 +118,38 @@ def test_link_predict_hub_cap_drops_hub_mediated_pairs(spark):
     # all leaf pairs are mediated by the hub (degree 5) only
     assert exact.count() == 10
     assert capped.count() == 0
+
+
+def test_clustering_coefficient_matches_networkx(spark):
+    from pgs_spark.operators.community import clustering_coefficient
+
+    rng = random.Random(13)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(20), rng.randrange(20)) for _ in range(70))
+        if a != b
+    }
+    g = _nx_graph(pairs)
+    got = {
+        int(r.id): r
+        for r in clustering_coefficient(spark, edges_df(spark, sorted(pairs))).collect()
+    }
+    want = nx.clustering(g)
+    for v, c in want.items():
+        assert math.isclose(got[v].cc_r, c, abs_tol=2e-6), (v, got[v].cc_r, c)
+        assert got[v].degree == g.degree[v]
+
+
+def test_clustering_triangle_plus_tail(spark):
+    from pgs_spark.operators.community import clustering_coefficient
+    from tests.conftest import TRIANGLE_PLUS_TAIL
+
+    got = {
+        int(r.id): r
+        for r in clustering_coefficient(
+            spark, edges_df(spark, TRIANGLE_PLUS_TAIL)
+        ).collect()
+    }
+    assert got[0].cc_r == 1.0  # in triangle, degree 2
+    assert got[3].cc_r == 0.0  # tail leaf
+    assert math.isclose(got[2].cc_r, 1 / 3, abs_tol=1e-6)  # degree 3, 1 triangle

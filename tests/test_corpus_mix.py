@@ -116,3 +116,40 @@ def test_dsir_weights_empty_target_slice_still_scores(spark):
     got = dsir_weights(d, n_buckets=16).collect()
     assert len(got) == 2
     assert all(math.isfinite(r.weight_r) for r in got)
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def test_tfidf_top_terms_known_answer(spark):
+    from pgs_spark.operators.corpus import tfidf_top_terms
+
+    d = docs_df(
+        spark,
+        [
+            (1, "apple apple banana common common", "en"),
+            (2, "cherry common common", "en"),
+            (3, "banana cherry common", "en"),
+        ],
+    )
+    got = tfidf_top_terms(d, top_k=2).toPandas()
+    top1 = {
+        int(r.doc_id): r.term for r in got[got.term_rank == 1].itertuples()
+    }
+    # 'common' appears in all docs -> idf = ln(1) = 0; rarer terms win
+    assert top1[1] == "apple"  # tf=2, df=1
+    assert top1[2] == "cherry"  # df=2 beats common's df=3
+    assert (got.groupby("doc_id").size() == 2).all()
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    import math as _math
+
+    from pgs_spark.operators.corpus import tfidf_top_terms
+
+    d = docs_df(spark, [(1, "x y", "en"), (2, "x z", "en")])
+    got = {
+        (int(r.doc_id), r.term): float(r.tfidf_r)
+        for r in tfidf_top_terms(d, top_k=2).collect()
+    }
+    assert got[(1, "x")] == 0.0  # df == N
+    assert _math.isclose(got[(1, "y")], _math.log(2.0), abs_tol=1e-6)
