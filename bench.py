@@ -346,6 +346,45 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         h["inner_supersteps"] for h in scc_res["r"].history
     )
 
+    # round-5b graph ops: clustering coefficient (wedge join + degrees),
+    # common-neighbor link prediction (the wedge join OPENED — fan-out is
+    # Σdeg², so it runs on the thresholded graph like coloring), modularity
+    # of the LPA partition (two equi-joins + two aggs; LPA rerun included in
+    # the timing), deterministic random walks (per-step frontier gather
+    # join), and personalized PageRank (same plan as pagerank, seed-slice
+    # teleport).
+    from pgs_spark.operators.community import (
+        clustering_coefficient,
+        common_neighbor_links,
+        modularity_by_community,
+    )
+    from pgs_spark.operators.walks import random_walks
+
+    timed(
+        "clustering_coeff",
+        lambda: clustering_coefficient(spark, cop).count(),
+    )
+    extra["linkpred_pairs"] = timed(
+        "link_predict",
+        lambda: common_neighbor_links(spark, cop_sparse, min_common=2).count(),
+    )
+    timed(
+        "modularity_lpa3",
+        lambda: modularity_by_community(
+            spark, cop, label_propagation(spark, cop, max_iter=3).labels
+        ).count(),
+    )
+    timed(
+        "random_walks_len4",
+        lambda: random_walks(spark, cop, walk_len=4, start_mod=3).count(),
+    )
+    timed(
+        "ppr_custsupp_10it",
+        lambda: pagerank(
+            spark, cs, fixed_iterations=10, personalize_mod=17
+        ).ranks.count(),
+    )
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -421,6 +460,22 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         lambda: pack_chunks(docs, capacity=2048, n_shards=32).count(),
     )
     timed("decontaminate", lambda: decontaminate(docs, k=5, eval_mod=41).count())
+
+    # round-5b corpus ops: positional span dedup, DSIR importance weights,
+    # tf-idf top terms, stratified domain-mix sampling — all count-table
+    # aggregation pipelines (explode → map-side-combinable groupBy → equi-
+    # join back), never all-pairs.
+    from pgs_spark.operators.corpus import (
+        dsir_weights,
+        span_dedup,
+        stratified_sample,
+        tfidf_top_terms,
+    )
+
+    timed("span_dedup", lambda: span_dedup(docs).count())
+    timed("dsir_weights", lambda: dsir_weights(docs).count())
+    timed("tfidf_top3", lambda: tfidf_top_terms(docs).count())
+    timed("stratified_sample", lambda: stratified_sample(docs).count())
     emb = load_table(spark, sf_dir, "embeddings").persist()
     emb.count()
     qs = emb.limit(50).persist()

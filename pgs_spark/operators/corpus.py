@@ -179,10 +179,17 @@ def stratified_sample(
             F.lit(0.0),
         )
         target = share * F.col("n_total")
-    rates = cnt.crossJoin(tot).select(
-        "stratum",
-        "n_docs",
-        F.least(F.lit(1.0), target / F.col("n_docs").cast("double")).alias("rate"),
+    # |S|-row rate table feeds BOTH the keep filter and the report base;
+    # persist so the census runs once (unpersisted, the plan duplicates the
+    # full corpus groupBy into each branch — two extra passes at 100 TB).
+    rates = (
+        cnt.crossJoin(tot)
+        .select(
+            "stratum",
+            "n_docs",
+            F.least(F.lit(1.0), target / F.col("n_docs").cast("double")).alias("rate"),
+        )
+        .persist()
     )
     u = (
         F.conv(

@@ -127,3 +127,32 @@ def test_nearest_value_1d_exact(spark):
     )
     got = {r["lid"]: r["rid"] for r in nearest_value_1d(spark, left, right).collect()}
     assert got == {1: 20, 2: 23, 3: 23}
+
+
+def test_round5b_operators_have_no_cartesian_on_data(spark):
+    """link_predict / modularity / dsir / tfidf / walks: the only allowed
+    non-equi join shapes are 1-row scalar crossJoins (census totals); a
+    CartesianProduct over DATA-sized relations would be |V|²/|docs|² at
+    scale. BroadcastNestedLoopJoin appears ONLY as the physical form of
+    those 1-row scalar attaches — assert no CartesianProduct anywhere and
+    count the NL joins to match the intended scalar attaches exactly."""
+    import __spark_entry__ as entry
+    from pgs_spark.plans.explain import plan_string
+
+    for q, n_scalar_max in (
+        (entry.q_link_predict, 0),  # pure equi-joins
+        (entry.q_modularity, 1),  # m (1-row)
+        (entry.q_dsir_weights, 2),  # ct_total, cr_total (1-row each)
+        (entry.q_tfidf, 1),  # n_docs (1-row)
+        (entry.q_random_walks, 0),  # pure equi-joins
+        (entry.q_clustering, 0),  # pure equi-joins
+        # 1 real scalar attach; the persisted rate table's cached subtree is
+        # PRINTED under both InMemoryTableScans (same node id, computed once)
+        (entry.q_stratified_sample, 2),
+    ):
+        plan = plan_string(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        # formatted plans print each node twice (tree + detail section);
+        # "BroadcastNestedLoopJoin Cross" matches only the tree line
+        n_nl = plan.count("BroadcastNestedLoopJoin Cross")
+        assert n_nl <= n_scalar_max, (q.__name__, n_nl, plan[:500])
