@@ -328,6 +328,24 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=TFIDF_K)
 
 
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (operators/community.degree_assortativity):
+    Pearson correlation of endpoint degrees over darts — Newman 2002. Exact
+    integer moments, one division. Oracle: osql.assortativity_sql."""
+    from pgs_spark.operators.community import degree_assortativity
+
+    return degree_assortativity(spark, _dense(spark, sf_dir))
+
+
+def q_reciprocity(spark, sf_dir):
+    """Directed reciprocity (operators/community.reciprocity) on the
+    consecutive-lineitem order-sequence graph — fraction of edges whose
+    reverse exists. Oracle: osql.reciprocity_sql."""
+    from pgs_spark.operators.community import reciprocity
+
+    return reciprocity(spark, order_sequence_edges(spark, sf_dir, SCC_MINQ))
+
+
 def q_pack_chunks(spark, sf_dir):
     """Sequence packing (operators/packing.py): concat-and-chunk the
     documents corpus into fixed token windows over md5-keyed shards —
@@ -1476,6 +1494,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering,
         "random_walks": q_random_walks,
         "tfidf_terms": q_tfidf,
+        "assortativity": q_assortativity,
+        "reciprocity": q_reciprocity,
     }
 
 
@@ -1768,6 +1788,10 @@ def oracle_sql() -> dict[str, str]:
             dense, osql.lpa_sql(dense, iterations=LPA_ITERS)
         ),
         "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
+        "assortativity": osql.assortativity_sql(dense),
+        "reciprocity": osql.reciprocity_sql(
+            f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
+        ),
         "clustering_coeff": osql.clustering_sql(dense),
         "random_walks": osql.random_walks_sql(
             dense, walk_len=WALK_LEN, start_mod=WALK_MOD

@@ -169,3 +169,66 @@ def clustering_coefficient(
             round_to,
         ).alias("cc_r"),
     )
+
+
+def degree_assortativity(
+    spark: SparkSession, edges: DataFrame, round_to: int = 6
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the darts of the undirected graph,
+    r = (M·Σ d_u d_v − (Σ d_u)²) / (M·Σ d_u² − (Σ d_u)²). Every sum is an
+    exact integer over the symmetrized edge list (degrees are integers), so
+    the single final division is the only float op — cross-engine exact.
+    Returns one row (n_darts, assortativity_r).
+
+    Scale shape: two degree joins onto the dart table plus one global
+    aggregate — the same joins the triangle orientation pays, no iteration.
+    """
+    und = canonicalize(edges)
+    deg = degrees(und)
+    sym = symmetrize(und)
+    paired = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("degree").alias("du")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("dv")), "dst")
+    )
+    agg = paired.agg(
+        F.count("*").alias("m"),
+        F.sum("du").alias("s1"),
+        F.sum(F.col("du") * F.col("dv")).alias("s2"),
+        F.sum(F.col("du") * F.col("du")).alias("s3"),
+    )
+    num = (F.col("m") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    den = (F.col("m") * F.col("s3") - F.col("s1") * F.col("s1")).cast("double")
+    return agg.select(
+        F.col("m").alias("n_darts"),
+        F.round(
+            F.when(den != 0.0, num / den).otherwise(F.lit(0.0)), round_to
+        ).alias("assortativity_r"),
+    )
+
+
+def reciprocity(spark: SparkSession, edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Directed-graph reciprocity: the fraction of directed edges whose
+    reverse edge also exists (self-loops excluded, duplicates collapsed).
+    Exact integer ratio. Returns one row (n_edges, n_reciprocal, recip_r).
+
+    Scale shape: one distinct + one self-equi-join on the reversed key —
+    never all-pairs."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return e.agg(F.count("*").alias("n_edges")).crossJoin(
+        recip.agg(F.count("*").alias("n_reciprocal"))
+    ).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges").cast("double"),
+            round_to,
+        ).alias("recip_r"),
+    )

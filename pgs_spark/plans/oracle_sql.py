@@ -511,3 +511,40 @@ def random_walks_sql(
         )
         selects.append(f"SELECT walk_id, {t} AS step, vertex FROM s{t}")
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def assortativity_sql(edges_sql: str, round_to: int = 6) -> str:
+    """Degree-assortativity oracle (mirrors
+    operators/community.degree_assortativity): exact integer moment sums
+    over the darts, one division."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+paired AS (
+    SELECT da.degree AS du, db.degree AS dv
+    FROM sym s JOIN deg da ON s.u = da.id JOIN deg db ON s.v = db.id),
+agg AS (SELECT COUNT(*) AS m, SUM(du) AS s1, SUM(du * dv) AS s2,
+               SUM(du * du) AS s3 FROM paired)
+SELECT m AS n_darts,
+       ROUND(CASE WHEN CAST(m * s3 - s1 * s1 AS DOUBLE) <> 0.0
+                  THEN CAST(m * s2 - s1 * s1 AS DOUBLE)
+                       / CAST(m * s3 - s1 * s1 AS DOUBLE)
+                  ELSE 0.0 END, {round_to}) AS assortativity_r
+FROM agg
+"""
+
+
+def reciprocity_sql(directed_edges_sql: str, round_to: int = 6) -> str:
+    """Reciprocity oracle (mirrors operators/community.reciprocity)."""
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM ({directed_edges_sql}) WHERE src <> dst),
+r AS (SELECT COUNT(*) AS n_reciprocal FROM e
+      WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)),
+n AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT n.n_edges, r.n_reciprocal,
+       ROUND(CAST(r.n_reciprocal AS DOUBLE) / CAST(n.n_edges AS DOUBLE),
+             {round_to}) AS recip_r
+FROM n CROSS JOIN r
+"""

@@ -153,3 +153,39 @@ def test_clustering_triangle_plus_tail(spark):
     assert got[0].cc_r == 1.0  # in triangle, degree 2
     assert got[3].cc_r == 0.0  # tail leaf
     assert math.isclose(got[2].cc_r, 1 / 3, abs_tol=1e-6)  # degree 3, 1 triangle
+
+
+def test_assortativity_matches_networkx(spark):
+    from pgs_spark.operators.community import degree_assortativity
+
+    rng = random.Random(99)
+    pairs = {
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(24), rng.randrange(24)) for _ in range(80))
+        if a != b
+    }
+    g = _nx_graph(pairs)
+    got = degree_assortativity(spark, edges_df(spark, sorted(pairs))).collect()[0]
+    want = nx.degree_assortativity_coefficient(g)
+    assert math.isclose(got.assortativity_r, want, abs_tol=2e-6)
+    assert got.n_darts == 2 * len(pairs)
+
+
+def test_assortativity_regular_graph_is_degenerate_zero(spark):
+    from pgs_spark.operators.community import degree_assortativity
+
+    # cycle: all degrees equal -> zero variance -> defined as 0 here
+    got = degree_assortativity(spark, edges_df(spark, CYCLE4)).collect()[0]
+    assert got.assortativity_r == 0.0
+
+
+def test_reciprocity_known_answer(spark):
+    from pgs_spark.operators.community import reciprocity
+
+    e = edges_df(
+        spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3), (5, 5), (1, 2)]
+    )  # self-loop + dup dropped; 1<->2 and 3<->4 reciprocal
+    got = reciprocity(spark, e).collect()[0]
+    assert got.n_edges == 5
+    assert got.n_reciprocal == 4
+    assert math.isclose(got.recip_r, 0.8, abs_tol=1e-6)
