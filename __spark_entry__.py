@@ -328,6 +328,16 @@ def q_tfidf(spark, sf_dir):
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top_k=TFIDF_K)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Interpolated 0.9-effective diameter from the HyperBall neighborhood
+    function (operators/hyperball.effective_diameter) — Boldi–Vigna's
+    four-degrees-of-separation measurement shape; fixed one-row schema
+    (n0_r..n3_r, deff_r). Oracle: osql.effective_diameter_sql."""
+    from pgs_spark.operators.hyperball import effective_diameter
+
+    return effective_diameter(spark, _dense(spark, sf_dir), supersteps=HB_STEPS)
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity (operators/community.degree_assortativity):
     Pearson correlation of endpoint degrees over darts — Newman 2002. Exact
@@ -1496,6 +1506,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf,
         "assortativity": q_assortativity,
         "reciprocity": q_reciprocity,
+        "effective_diameter": q_effective_diameter,
     }
 
 
@@ -1789,6 +1800,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
         "assortativity": osql.assortativity_sql(dense),
+        "effective_diameter": osql.effective_diameter_sql(
+            dense, supersteps=HB_STEPS
+        ),
         "reciprocity": osql.reciprocity_sql(
             f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
         ),

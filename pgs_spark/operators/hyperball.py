@@ -191,3 +191,69 @@ def harmonic_centrality(
     res = out.select("id", F.round(harm, 6).alias("harm"))
     sym.unpersist()
     return res
+
+
+def effective_diameter(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    supersteps: int = 3,
+    q: float = 0.9,
+) -> DataFrame:
+    """One-row (n0_r..nT_r, deff_r): the neighborhood function N(r) per
+    radius and the interpolated q-effective diameter — Boldi–Vigna's other
+    headline HyperBall application (the "four degrees of separation"
+    measurement shape).
+
+    N(r) = Σ_v |B(v,r)| from the same register relation as harmonic
+    centrality; d_eff = the interpolated radius where N first reaches
+    q·N(T): r−1 + (q·N(T) − N(r−1)) / (N(r) − N(r−1)).
+
+    Cross-engine: each N(r) is a SUM of per-vertex dyadic-exact estimates,
+    rounded to 6dp; d_eff is then a FIXED CASE tree over those ROUNDED
+    values (both engines interpolate from identical inputs), rounded again.
+    The only float slack is the usual sum-order last-ulp under the 6dp
+    round — the hits/lm_score precedent.
+    """
+    sym = (
+        symmetrize(undirected_edges)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .persist()
+    )
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    work_dir = make_work_dir("pgs_deff_")
+    state = snapshot(_init_registers(verts), work_dir, "st_0")
+    # per-radius estimates snapshot under UNIQUE names (est_t): the sums are
+    # aggregated lazily at the final action, and the alternating st_{t%2}
+    # state files are already overwritten by then (the harmonic_centrality
+    # discipline — est relations are |V| rows, cheap to keep)
+    ests = [snapshot(_raw_estimate(state), work_dir, "est_0")]
+    for t in range(1, supersteps + 1):
+        gathered = sym.join(state, sym.v == state.id).select(
+            F.col("u").alias("id"), "j", "rho"
+        )
+        state = snapshot(
+            state.union(gathered).groupBy("id", "j").agg(F.max("rho").alias("rho")),
+            work_dir,
+            f"st_{t % 2}",
+        )
+        ests.append(snapshot(_raw_estimate(state), work_dir, f"est_{t}"))
+    sums = [
+        ests[t].agg(F.round(F.sum("est"), 6).alias(f"n{t}_r"))
+        for t in range(supersteps + 1)
+    ]
+    row = sums[0]
+    for t in range(1, supersteps + 1):
+        row = row.crossJoin(sums[t])  # 1-row scalars
+    target = F.lit(q) * F.col(f"n{supersteps}_r")
+    deff = F.when(F.col("n0_r") >= target, F.lit(0.0))
+    for r in range(1, supersteps + 1):
+        lo, hi = F.col(f"n{r - 1}_r"), F.col(f"n{r}_r")
+        deff = deff.when(
+            hi >= target, F.lit(float(r - 1)) + (target - lo) / (hi - lo)
+        )
+    out = row.select(
+        *[f"n{t}_r" for t in range(supersteps + 1)],
+        F.round(deff.otherwise(F.lit(float(supersteps))), 6).alias("deff_r"),
+    )
+    sym.unpersist()
+    return out

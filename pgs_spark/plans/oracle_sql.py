@@ -548,3 +548,53 @@ SELECT n.n_edges, r.n_reciprocal,
              {round_to}) AS recip_r
 FROM n CROSS JOIN r
 """
+
+
+def effective_diameter_sql(
+    edges_sql: str, supersteps: int = 3, q: float = 0.9
+) -> str:
+    """Effective-diameter oracle (mirrors
+    operators/hyperball.effective_diameter): the hyperball register
+    recurrence with a 6dp-rounded N(r) scalar per radius, then the identical
+    interpolation CASE tree over the ROUNDED values."""
+    est_expr = (
+        "0.673 * 256.0 / (CAST(16 - COUNT(*) AS DOUBLE)"
+        " + SUM(1.0 / CAST(1 << rho AS DOUBLE)))"
+    )
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"sym AS MATERIALIZED ({sym_cte()})",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+        "st0 AS MATERIALIZED (SELECT id,"
+        " ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 1))::INT AS j,"
+        " CASE WHEN w = 0 THEN 17 ELSE 17 - length(bin(w)) END AS rho"
+        " FROM (SELECT id, ('0x' || substr(md5(CAST(id AS VARCHAR)), 2, 4))::INT AS w"
+        " FROM verts))",
+        f"n0 AS (SELECT ROUND(SUM(est), 6) AS n0_r FROM"
+        f" (SELECT id, {est_expr} AS est FROM st0 GROUP BY id))",
+    ]
+    for t in range(1, supersteps + 1):
+        parts.append(
+            f"st{t} AS MATERIALIZED (SELECT id, j, MAX(rho) AS rho FROM ("
+            f"SELECT s.u AS id, p.j, p.rho FROM sym s JOIN st{t - 1} p ON s.v = p.id"
+            f" UNION ALL SELECT id, j, rho FROM st{t - 1}) g GROUP BY id, j)"
+        )
+        parts.append(
+            f"n{t} AS (SELECT ROUND(SUM(est), 6) AS n{t}_r FROM"
+            f" (SELECT id, {est_expr} AS est FROM st{t} GROUP BY id))"
+        )
+    target = f"{q!r} * n{supersteps}_r"
+    cases = [f"WHEN n0_r >= {target} THEN 0.0"]
+    for r in range(1, supersteps + 1):
+        cases.append(
+            f"WHEN n{r}_r >= {target} THEN {float(r - 1)!r}"
+            f" + ({target} - n{r - 1}_r) / (n{r}_r - n{r - 1}_r)"
+        )
+    joins = " CROSS JOIN ".join(f"n{t}" for t in range(supersteps + 1))
+    cols = ", ".join(f"n{t}_r" for t in range(supersteps + 1))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {cols}, ROUND(CASE {' '.join(cases)}"
+        + f" ELSE {float(supersteps)!r} END, 6) AS deff_r FROM {joins}"
+    )

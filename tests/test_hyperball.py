@@ -112,3 +112,29 @@ def test_harmonic_center_beats_leaf(spark):
         for r in harmonic_centrality(spark, edges_df(spark, STAR10), 2).collect()
     }
     assert got[0] > max(got[i] for i in range(1, 11))
+
+
+def test_effective_diameter_ring200(spark):
+    """200-ring: balls grow 1->3->5->7 vertices, so N(r) growth dominates
+    the small-set HLL bias (on a 5-vertex toy the raw estimator's bias
+    floods the signal and deff degenerates to 0 — module docstring). deff
+    must be interior: real hops are needed for 90% coverage."""
+    from pgs_spark.operators.hyperball import effective_diameter
+    from tests.conftest import edges_df
+
+    ring = [(i, (i + 1) % 200) for i in range(200)]
+    got = effective_diameter(spark, edges_df(spark, ring), supersteps=3).collect()[0]
+    ns = [got.n0_r, got.n1_r, got.n2_r, got.n3_r]
+    assert ns == sorted(ns)  # register maxima only grow
+    assert 0.0 < got.deff_r <= 3.0
+
+
+def test_effective_diameter_clique_is_small(spark):
+    """Complete graph: one hop reaches everything — deff <= 1."""
+    from pgs_spark.operators.hyperball import effective_diameter
+    from tests.conftest import edges_df
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    got = effective_diameter(spark, edges_df(spark, k5), supersteps=2).collect()[0]
+    assert got.deff_r <= 1.0
+    assert got.n1_r == got.n2_r  # ball saturates after one hop
