@@ -785,6 +785,16 @@ def q_stream_dedup(spark, sf_dir):
     return streaming_dedup_keep(spark, f"{sf_dir}/documents.parquet")
 
 
+def q_stream_census(spark, sf_dir):
+    """STREAMING per-language corpus census: quality/token column exprs →
+    stateful groupBy(lang) with order-insensitive integer aggregates →
+    availableNow drain == batch GROUP BY (the corpus_clean monitoring
+    face). Oracle: plans/docs_sql.quality_census_sql."""
+    from pgs_spark.streaming.windows import streaming_quality_census
+
+    return streaming_quality_census(spark, f"{sf_dir}/documents.parquet")
+
+
 def _points2d(spark, sf_dir):
     """2D points from the first two embedding dims (float32 → double widens
     exactly, so both engines see identical coordinates)."""
@@ -1507,6 +1517,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "reciprocity": q_reciprocity,
         "effective_diameter": q_effective_diameter,
+        "stream_census": q_stream_census,
     }
 
 
@@ -1685,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": dsql.ngram_novelty_sql(NOVELTY_K),
         "pii_scrub": dsql.pii_scrub_sql(),
         "stream_dedup": dsql.stream_dedup_sql(),
+        "stream_census": dsql.quality_census_sql(),
         "closest_pair": f"""
             WITH p AS ({PAIR_POINTS_SQL}),
             s AS (SELECT a.id AS a, b.id AS b,

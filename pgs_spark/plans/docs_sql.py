@@ -701,3 +701,31 @@ ranked AS (
 SELECT doc_id, term, term_rank, ROUND(tfidf, 6) AS tfidf_r
 FROM ranked WHERE term_rank <= {top_k}
 """
+
+
+def quality_census_sql() -> str:
+    """Per-language corpus census oracle (mirrors
+    streaming/windows.streaming_quality_census AND its batch twin): integer
+    aggregates over the 6dp-rounded quality flag — order-insensitive, so
+    the streaming availableNow drain equals this batch GROUP BY exactly."""
+    return f"""
+WITH docs AS (SELECT lang, text, {TOKS} AS w FROM documents),
+m AS (SELECT lang, CAST(len(w) AS INT) AS n_tok,
+    CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+        / CAST(length(text) AS DOUBLE) AS ar,
+    CAST(len(list_filter(w, x -> x IN ({_SW}))) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS sw,
+    CAST(length(regexp_replace(trim(text), '\\s', '', 'g')) AS DOUBLE)
+        / CAST(len(w) AS DOUBLE) AS mtl
+  FROM docs),
+q AS (SELECT lang, n_tok,
+    ROUND(0.4*ar + 0.4*LEAST(sw*4.0, 1.0)
+          + 0.2*(CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END), 6)
+        AS quality
+  FROM m)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_quality
+FROM q GROUP BY lang
+"""

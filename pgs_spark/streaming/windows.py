@@ -115,3 +115,56 @@ def streaming_dedup_keep(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_quality_census(
+    spark: SparkSession, docs_parquet: str
+) -> DataFrame:
+    """STREAMING per-language corpus census: readStream over the documents
+    parquet → quality/token column exprs (functions/text.py, same columns
+    the batch pipeline computes) → stateful groupBy(lang) with
+    order-insensitive aggregates (COUNT + integer SUMs) → availableNow
+    drain. Deterministic under any file-split arrival order, so it equals
+    the batch GROUP BY twin exactly — the oracle.
+
+    This is corpus_clean's monitoring face: the unbounded deployment runs
+    it in update mode behind a foreachBatch upsert (state = one row per
+    language); complete-mode-to-memory is the test-scale drain."""
+    import os
+
+    from pgs_spark.functions import text as tx
+
+    batch_schema = spark.read.parquet(docs_parquet).schema
+    if os.path.isdir(docs_parquet):
+        reader = spark.readStream.schema(batch_schema)
+        src = docs_parquet
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", os.path.basename(docs_parquet)
+        )
+        src = os.path.dirname(docs_parquet)
+    agg = (
+        reader.parquet(src)
+        .select(
+            "lang",
+            tx.token_count(F.col("text")).alias("n_tok"),
+            (tx.quality_score(F.col("text")) >= 0.5).cast("long").alias("hq"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("hq").alias("n_high_quality"),
+        )
+    )
+    name = f"census_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

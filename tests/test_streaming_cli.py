@@ -175,3 +175,47 @@ def test_stream_foreach_batch_consumer(spark, tmp_path):
     assert seen["rows"] == 1000
     assert seen["ksum"] == sum(i % 7 for i in range(1000))
     assert seen["batches"] >= 1
+
+
+def test_streaming_quality_census_equals_batch(spark, tmp_path):
+    """availableNow census drain == batch groupBy on the same parquet, even
+    when the input arrives as multiple files."""
+    import pandas as pd
+
+    from pgs_spark.functions import text as tx
+    from pgs_spark.streaming.windows import streaming_quality_census
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows1 = [(1, "the quick brown fox jumps over the lazy dog", "en"),
+             (2, "zzz qqq xxx", "xx")]
+    rows2 = [(3, "a be or not to be that is the question here", "en"),
+             (4, "the and of to in is it", "en")]
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+            .coalesce(1).write.parquet(str(d / f"part{i}"))
+    # flatten into one dir of files
+    import shutil, glob
+    out = tmp_path / "flat"
+    out.mkdir()
+    for j, f in enumerate(sorted(glob.glob(str(d / "part*" / "*.parquet")))):
+        shutil.copy(f, out / f"f{j}.parquet")
+
+    got = streaming_quality_census(spark, str(out)).toPandas()
+    batch = (
+        spark.read.parquet(str(out))
+        .select(
+            "lang",
+            tx.token_count(F.col("text")).alias("n_tok"),
+            (tx.quality_score(F.col("text")) >= 0.5).cast("long").alias("hq"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("hq").alias("n_high_quality"),
+        )
+        .toPandas()
+    )
+    key = lambda df: df.sort_values("lang", ignore_index=True)
+    pd.testing.assert_frame_equal(key(got), key(batch), check_dtype=False)
