@@ -286,6 +286,20 @@ def q_modularity(spark, sf_dir):
     return modularity_by_community(spark, e, labels)
 
 
+def q_modularity_weighted(spark, sf_dir):
+    """Weighted Newman modularity of the weighted-LPA partition on the
+    co-occurrence-weighted graph (PGS_Conversion.setEdgeWeight family):
+    counts → weight sums, m → Σw — integer weights keep every sum exact.
+    Oracle: osql.modularity_sql(weighted=True) over weighted lpa_sql."""
+    from pgs_spark.operators.community import modularity_by_community
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE).persist()
+    labels = label_propagation(
+        spark, we, max_iter=LPA_ITERS, weight_col="weight"
+    ).labels
+    return modularity_by_community(spark, we, labels, weight_col="weight")
+
+
 def q_link_predict(spark, sf_dir):
     """Common-neighbor link prediction (operators/community.
     common_neighbor_links): the triangle wedge join opened instead of closed
@@ -1518,6 +1532,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "effective_diameter": q_effective_diameter,
         "stream_census": q_stream_census,
+        "modularity_weighted": q_modularity_weighted,
     }
 
 
@@ -1809,6 +1824,11 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": dsql.decontaminate_sql(k=DECON_K, eval_mod=DECON_MOD),
         "modularity": osql.modularity_sql(
             dense, osql.lpa_sql(dense, iterations=LPA_ITERS)
+        ),
+        "modularity_weighted": osql.modularity_sql(
+            dense_w,
+            osql.lpa_sql(dense_w, iterations=LPA_ITERS, weighted=True),
+            weighted=True,
         ),
         "link_predict": osql.link_predict_sql(dense, min_common=LP_MIN_CN),
         "assortativity": osql.assortativity_sql(dense),

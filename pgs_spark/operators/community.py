@@ -38,6 +38,7 @@ def modularity_by_community(
     edges: DataFrame,
     labels: DataFrame,
     round_to: int = 6,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-community modularity contributions of a vertex partition.
 
@@ -47,11 +48,22 @@ def modularity_by_community(
 
     Returns (label, n_internal, degree_sum, modularity_r) where
     modularity_r = round(n_internal/m − (degree_sum/(2m))², round_to) and
-    m = |E|. Both engines evaluate the identical expression tree on exact
-    integers, so the doubles agree bit-for-bit before rounding.
+    m = |E|. With ``weight_col`` (the reference's weighted graphs,
+    PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933) the counts become
+    weight sums: n_internal = Σw internal, degree_sum = vertex strength Σ,
+    m = Σw — Newman's weighted modularity. Both engines evaluate the
+    identical expression tree on exact integers (weights here are integer
+    co-occurrence counts, so even the weighted sums are exact), so the
+    doubles agree bit-for-bit before rounding.
     """
-    und = canonicalize(edges)
-    m = und.agg(F.count("*").cast("double").alias("m"))
+    if weight_col is None:
+        und = canonicalize(edges)
+        w_one = F.lit(1).alias("w")
+        und = und.select("src", "dst", w_one)
+    else:
+        # weighted callers pass an already-canonical weighted edge table
+        und = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    m = und.agg(F.sum("w").cast("double").alias("m"))
 
     la = labels.select(F.col("id").alias("src"), F.col("label").alias("ls"))
     lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("ld"))
@@ -60,13 +72,16 @@ def modularity_by_community(
         .join(lb, "dst")
         .filter(F.col("ls") == F.col("ld"))
         .groupBy(F.col("ls").alias("label"))
-        .agg(F.count("*").alias("n_internal"))
+        .agg(F.sum("w").alias("n_internal"))
+    )
+    sym_w = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     degs = (
-        symmetrize(und)
+        sym_w
         .join(la.select(F.col("src"), F.col("ls").alias("label")), "src")
         .groupBy("label")
-        .agg(F.count("*").alias("degree_sum"))
+        .agg(F.sum("w").alias("degree_sum"))
     )
     ni = F.coalesce(F.col("n_internal"), F.lit(0)).cast("long")
     half = F.col("degree_sum").cast("double") / (F.lit(2.0) * F.col("m"))

@@ -409,23 +409,29 @@ def harmonic_sql(edges_sql: str, supersteps: int = 3) -> str:
     )
 
 
-def modularity_sql(edges_sql: str, labels_sql: str, round_to: int = 6) -> str:
+def modularity_sql(
+    edges_sql: str, labels_sql: str, round_to: int = 6, weighted: bool = False
+) -> str:
     """Per-community Newman modularity of a labeled partition (mirrors
     operators/community.modularity_by_community). ``labels_sql`` is any query
     yielding (id, label) — e.g. the full unrolled lpa_sql — embedded as a
-    CTE. Expression tree matches the engine's exactly (int counts → double
+    CTE. With ``weighted`` the edges CTE must yield (src, dst, weight) and
+    every count becomes a weight sum (integer weights stay exact).
+    Expression tree matches the engine's exactly (int sums → double
     divisions) so the pre-round doubles agree bit-for-bit."""
+    wexpr = "weight" if weighted else "1"
     return f"""
-WITH me AS MATERIALIZED ({edges_sql}),
+WITH me0 AS MATERIALIZED ({edges_sql}),
+me AS MATERIALIZED (SELECT src, dst, {wexpr} AS w FROM me0),
 labs AS MATERIALIZED ({labels_sql}),
-mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM me),
+mm AS (SELECT CAST(SUM(w) AS DOUBLE) AS m FROM me),
 internal AS (
-    SELECT la.label, COUNT(*) AS n_internal
+    SELECT la.label, SUM(me.w) AS n_internal
     FROM me JOIN labs la ON me.src = la.id JOIN labs lb ON me.dst = lb.id
     WHERE la.label = lb.label GROUP BY la.label),
-msym AS (SELECT src AS u FROM me UNION ALL SELECT dst FROM me),
+msym AS (SELECT src AS u, w FROM me UNION ALL SELECT dst, w FROM me),
 degs AS (
-    SELECT l.label, COUNT(*) AS degree_sum
+    SELECT l.label, SUM(s.w) AS degree_sum
     FROM msym s JOIN labs l ON s.u = l.id GROUP BY l.label)
 SELECT d.label,
        COALESCE(i.n_internal, 0) AS n_internal,

@@ -189,3 +189,27 @@ def test_reciprocity_known_answer(spark):
     assert got.n_edges == 5
     assert got.n_reciprocal == 4
     assert math.isclose(got.recip_r, 0.8, abs_tol=1e-6)
+
+
+def test_weighted_modularity_matches_networkx(spark):
+    rng = random.Random(5)
+    pairs = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(18), rng.randrange(18)) for _ in range(60))
+        if a != b
+    })
+    wpairs = [(a, b, 1 + ((a * 7 + b) % 5)) for a, b in pairs]
+    we = spark.createDataFrame(wpairs, "src long, dst long, weight long")
+    g = nx.Graph()
+    for a, b, w in wpairs:
+        g.add_edge(a, b, weight=w)
+    labels = {v: v % 3 for v in g.nodes}
+    got = modularity_by_community(
+        spark, we, _labels_df(spark, labels), weight_col="weight"
+    ).toPandas()
+    want = nx.algorithms.community.modularity(
+        g, [{v for v in g if labels[v] == c} for c in range(3)], weight="weight"
+    )
+    assert math.isclose(got["modularity_r"].sum(), want, abs_tol=1e-5)
+    # strength sums partition 2·Σw exactly
+    assert int(got["degree_sum"].sum()) == 2 * sum(w for _, _, w in wpairs)
