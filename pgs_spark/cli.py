@@ -115,6 +115,48 @@ def cmd_merge_to_k(args) -> None:
                       "history": res.history}))
 
 
+def cmd_corpus_clean(args) -> None:
+    """documents parquet → cleaned-corpus parquet + JSON census.
+
+    The end-to-end training-data pipeline (the corpus_clean gate query as a
+    user-facing job): exact+near-dup keep list → keep the cluster
+    representatives → 6dp-rounded quality threshold → write kept docs,
+    print the per-language census."""
+    from pyspark.sql import functions as F
+
+    from pgs_spark.functions import text as tx
+    from pgs_spark.operators.dedup import dedup_keep_list
+
+    spark = _spark("pgs-corpus-clean")
+    docs = spark.read.parquet(args.docs).persist()
+    keep = dedup_keep_list(spark, docs)
+    keepers = keep.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+    kept = (
+        docs.join(keepers, "doc_id")
+        .withColumn("quality", tx.quality_score(F.col("text")))
+        .filter(F.col("quality") >= args.min_quality)
+    )
+    kept.write.mode("overwrite").parquet(args.out)
+    census = (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(tx.token_count(F.col("text"))).alias("n_tokens"),
+        )
+        .orderBy("lang")
+        .collect()
+    )
+    print(
+        json.dumps(
+            {
+                "n_input": docs.count(),
+                "n_kept": kept.count(),
+                "census": [r.asDict() for r in census],
+            }
+        )
+    )
+
+
 def cmd_triangles(args) -> None:
     from pgs_spark.operators.triangles import triangle_count
 
@@ -180,6 +222,15 @@ def build_parser() -> argparse.ArgumentParser:
     mk.add_argument("--k", type=int, required=True)
     mk.add_argument("--max-rounds", type=int, default=10)
     mk.set_defaults(fn=cmd_merge_to_k)
+
+    cl = sub.add_parser(
+        "corpus-clean",
+        help="dedup keep-list -> quality filter -> cleaned parquet + census",
+    )
+    cl.add_argument("--docs", required=True, help="documents parquet path")
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--min-quality", type=float, default=0.5)
+    cl.set_defaults(fn=cmd_corpus_clean)
     return p
 
 

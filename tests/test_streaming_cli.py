@@ -219,3 +219,26 @@ def test_streaming_quality_census_equals_batch(spark, tmp_path):
     )
     key = lambda df: df.sort_values("lang", ignore_index=True)
     pd.testing.assert_frame_equal(key(got), key(batch), check_dtype=False)
+
+
+def test_cli_corpus_clean_roundtrip(spark, tmp_path, capsys):
+    from pgs_spark.cli import main
+
+    docs_path = str(tmp_path / "docs")
+    out_path = str(tmp_path / "clean")
+    good = "the quick brown fox jumps over the lazy dog and runs far away home"
+    spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good, "en"),  # exact dup of 1 -> dropped
+            (3, "zzz 123 $$$ %%% ### !!!", "xx"),  # low quality -> dropped
+            (4, "many hands make light work when the team shares every task well", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    ).write.parquet(docs_path)
+    main(["corpus-clean", "--docs", docs_path, "--out", out_path])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_input"] == 4
+    assert stats["n_kept"] == 2  # exact dup and junk removed
+    kept_ids = {r.doc_id for r in spark.read.parquet(out_path).collect()}
+    assert kept_ids == {1, 4}
