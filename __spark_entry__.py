@@ -216,6 +216,16 @@ def q_bfs(spark, sf_dir):
     return bfs_distances(spark, e, int(source), max_hops=BFS_HOPS)
 
 
+def q_double_sweep(spark, sf_dir):
+    """Double-sweep diameter lower bound (operators/traversal.
+    double_sweep_diameter): two BFS sweeps, integer-exact, exact on trees —
+    the cheap companion to the HyperBall effective diameter.
+    Oracle: osql.double_sweep_sql."""
+    from pgs_spark.operators.traversal import double_sweep_diameter
+
+    return double_sweep_diameter(spark, _dense(spark, sf_dir), max_hops=BFS_HOPS)
+
+
 def q_neighborhood_est(spark, sf_dir):
     """HyperBall neighborhood function (operators/hyperball.py): per-vertex
     HLL estimate of the 3-hop ball size on the dense co-purchase graph —
@@ -1533,6 +1543,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": q_effective_diameter,
         "stream_census": q_stream_census,
         "modularity_weighted": q_modularity_weighted,
+        "double_sweep": q_double_sweep,
     }
 
 
@@ -1810,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY brand_a, brand_b
         """,
         "bfs_distances": osql.bfs_sql(dense, max_hops=BFS_HOPS),
+        "double_sweep": osql.double_sweep_sql(dense, max_hops=BFS_HOPS),
         "neighborhood_est": osql.hyperball_sql(dense, supersteps=HB_STEPS),
         "ktruss": osql.ktruss_sql(dense, k=TRUSS_K, rounds=TRUSS_ROUNDS),
         "hits": osql.hits_sql(CUSTOMER_SUPPLIER_SQL, iterations=HITS_ITERS),

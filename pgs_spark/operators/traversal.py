@@ -188,3 +188,40 @@ SELECT r.id, r.ring, ROUND(r.angle, 6) AS angle_r,
        CAST(f.o + r.pos_in_ring AS BIGINT) AS spiral_rank
 FROM rk r JOIN off f ON r.ring = f.ring
 """
+
+
+def double_sweep_diameter(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    max_hops: int = 8,
+) -> DataFrame:
+    """One-row (src0, far0, ecc0, far1, diam_lb): the classic double-sweep
+    diameter lower bound (Magnien–Latapy–Habib 2009) — BFS from the minimum
+    vertex id, then BFS again from the farthest vertex found; the second
+    eccentricity lower-bounds the true diameter (exact on trees).
+
+    Fully integer and deterministic: argmax ties break on minimum id, both
+    sweeps reuse bfs_distances (distanceTree graft, PGS_Contour.java:718-740).
+    The two scalar extractions pull ONE row each to the driver — the same
+    cost as reading an aggregate, not a data-sized collect.
+    """
+    far_first = [F.col("dist").desc(), F.col("id").asc()]
+    src0 = int(
+        undirected_edges.agg(F.min(F.least("src", "dst"))).first()[0]
+    )
+    d1 = bfs_distances(spark, undirected_edges, src0, max_hops=max_hops)
+    r1 = d1.orderBy(*far_first).first()
+    d2 = bfs_distances(spark, undirected_edges, int(r1["id"]), max_hops=max_hops)
+    r2 = d2.orderBy(*far_first).first()
+    return spark.createDataFrame(
+        [
+            (
+                src0,
+                int(r1["id"]),
+                int(r1["dist"]),
+                int(r2["id"]),
+                int(r2["dist"]),
+            )
+        ],
+        "src0 long, far0 long, ecc0 int, far1 long, diam_lb int",
+    )

@@ -604,3 +604,31 @@ def effective_diameter_sql(
         + f"\nSELECT {cols}, ROUND(CASE {' '.join(cases)}"
         + f" ELSE {float(supersteps)!r} END, 6) AS deff_r FROM {joins}"
     )
+
+
+def double_sweep_sql(edges_sql: str, max_hops: int = 8) -> str:
+    """Double-sweep diameter-lower-bound oracle (mirrors
+    operators/traversal.double_sweep_diameter): two recursive-CTE BFS
+    expansions, argmax with (dist DESC, id ASC) tie-break."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+sym AS ({sym_cte()}),
+w1(id, dist) AS (
+    SELECT (SELECT MIN(u) FROM sym), 0
+    UNION
+    SELECT s.v, w.dist + 1 FROM sym s JOIN w1 w ON s.u = w.id
+    WHERE w.dist < {max_hops}),
+d1 AS (SELECT id, MIN(dist) AS dist FROM w1 GROUP BY id),
+s1 AS (SELECT id, dist FROM d1 ORDER BY dist DESC, id LIMIT 1),
+w2(id, dist) AS (
+    SELECT (SELECT id FROM s1), 0
+    UNION
+    SELECT s.v, w.dist + 1 FROM sym s JOIN w2 w ON s.u = w.id
+    WHERE w.dist < {max_hops}),
+d2 AS (SELECT id, MIN(dist) AS dist FROM w2 GROUP BY id),
+s2 AS (SELECT id, dist FROM d2 ORDER BY dist DESC, id LIMIT 1)
+SELECT (SELECT MIN(u) FROM sym) AS src0,
+       s1.id AS far0, CAST(s1.dist AS INT) AS ecc0,
+       s2.id AS far1, CAST(s2.dist AS INT) AS diam_lb
+FROM s1 CROSS JOIN s2
+"""

@@ -50,3 +50,23 @@ def test_walks_start_slice(spark):
     got = random_walks(spark, edges_df(spark, CYCLE4), walk_len=2, start_mod=2)
     wids = {int(r.walk_id) for r in got.select("walk_id").distinct().collect()}
     assert wids == {0, 2}
+
+
+def test_double_sweep_exact_on_path(spark):
+    """PATH5 is a tree: the double sweep finds the TRUE diameter (4)."""
+    from pgs_spark.operators.traversal import double_sweep_diameter
+    from tests.conftest import PATH5
+
+    got = double_sweep_diameter(spark, edges_df(spark, PATH5)).collect()[0]
+    assert got.src0 == 0
+    assert got.ecc0 == 4 and got.far0 == 4  # farthest from 0 on a path
+    assert got.diam_lb == 4 and got.far1 == 0
+
+
+def test_double_sweep_lower_bounds_cycle(spark):
+    """6-cycle: true diameter 3; any sweep pair reports exactly 3."""
+    from pgs_spark.operators.traversal import double_sweep_diameter
+
+    ring6 = [(i, (i + 1) % 6) for i in range(6)]
+    got = double_sweep_diameter(spark, edges_df(spark, ring6)).collect()[0]
+    assert got.diam_lb == 3
