@@ -64,6 +64,9 @@ PPR_MOD = 17  # personalized PageRank: seed slice id % 17 == 0
 WALK_LEN = 4  # random walks: steps per walk
 WALK_MOD = 3  # random walks: start slice id % 3 == 0
 TFIDF_K = 3  # tf-idf: top terms per doc
+CMS_DEPTH = 4  # count-min sketch: hash rows
+CMS_WIDTH = 64  # count-min sketch: buckets per row
+CMS_TOPK = 20  # count-min sketch: probed heavy hitters
 DSIR_BUCKETS = 256  # dsir: hashed feature buckets
 DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
 
@@ -434,6 +437,21 @@ def q_dsir_weights(spark, sf_dir):
         load_table(spark, sf_dir, "documents"),
         n_buckets=DSIR_BUCKETS,
         target_mod=DSIR_MOD,
+    )
+
+
+def q_cms_counts(spark, sf_dir):
+    """Count-min sketch with deterministic md5 hash rows (operators/corpus.
+    cms_token_counts): true top-20 tokens vs sketch estimates — the
+    one-sided (estimate ≥ truth) guarantee is oracle-checked exactly.
+    Oracle: docs_sql.cms_token_counts_sql."""
+    from pgs_spark.operators.corpus import cms_token_counts
+
+    return cms_token_counts(
+        load_table(spark, sf_dir, "documents"),
+        depth=CMS_DEPTH,
+        width=CMS_WIDTH,
+        top_k=CMS_TOPK,
     )
 
 
@@ -1544,6 +1562,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_census": q_stream_census,
         "modularity_weighted": q_modularity_weighted,
         "double_sweep": q_double_sweep,
+        "cms_counts": q_cms_counts,
     }
 
 
@@ -1855,6 +1874,9 @@ def oracle_sql() -> dict[str, str]:
             dense, walk_len=WALK_LEN, start_mod=WALK_MOD
         ),
         "tfidf_terms": dsql.tfidf_top_terms_sql(top_k=TFIDF_K),
+        "cms_counts": dsql.cms_token_counts_sql(
+            depth=CMS_DEPTH, width=CMS_WIDTH, top_k=CMS_TOPK
+        ),
         "stratified_sample": dsql.stratified_sample_sql(),
         "span_dedup": dsql.span_dedup_sql(k=SPAN_K),
         "dsir_weights": dsql.dsir_weights_sql(

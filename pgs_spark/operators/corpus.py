@@ -383,3 +383,83 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_k)
         .select("doc_id", "term", "term_rank", F.round("tfidf", 6).alias("tfidf_r"))
     )
+
+
+def cms_token_counts(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 64,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over the token stream (Cormode–Muthukrishnan 2005)
+    with DETERMINISTIC hash rows — md5(row|token) mod width — so the sketch
+    replays identically in any engine and the one-sided error guarantee
+    (estimate ≥ truth) is oracle-checkable.
+
+    Returns the true top-k tokens (count DESC, token ASC) with their exact
+    count and the sketch estimate: (term, true_count, cms_estimate).
+
+    Scale shape: the sketch build is one explode ×depth → groupBy(row,
+    bucket) — map-side combinable into EXACTLY depth·width rows, the
+    classic "summarize a 100-TB stream into a broadcastable card" shape;
+    the top-k truth side is the same token census tf-idf builds. All
+    integers — cross-engine exact.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("term")
+    ).persist()
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    buckets = tok.select(
+        "term", F.explode(rows).alias("r")
+    ).select(
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("term"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("b"),
+    )
+    sketch = buckets.groupBy("r", "b").agg(F.count("*").alias("c"))
+
+    truth = tok.groupBy("term").agg(F.count("*").alias("true_count"))
+    w = Window.orderBy(F.col("true_count").desc(), F.col("term"))
+    top = truth.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+    probes = top.select(
+        "term",
+        "true_count",
+        F.explode(rows).alias("r"),
+    ).select(
+        "term",
+        "true_count",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("term"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).alias("b"),
+    )
+    return (
+        probes.join(sketch, ["r", "b"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

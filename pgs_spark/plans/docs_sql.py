@@ -729,3 +729,35 @@ SELECT lang, COUNT(*) AS n_docs,
            AS n_high_quality
 FROM q GROUP BY lang
 """
+
+
+def cms_token_counts_sql(depth: int = 4, width: int = 64, top_k: int = 20) -> str:
+    """Count-min-sketch oracle (mirrors corpus.cms_token_counts):
+    deterministic md5(row|token) bucket rows replayed exactly; true top-k
+    tokens joined against the depth×width sketch, estimate = MIN over rows.
+    All integers — cross-engine exact."""
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT unnest({TOKS}) AS term FROM documents),
+rows_ AS (SELECT unnest(range(0, {depth})) AS r),
+buckets AS MATERIALIZED (
+    SELECT r,
+           ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term), 1, 6))::BIGINT
+               % {width} AS b
+    FROM tok CROSS JOIN rows_),
+sketch AS MATERIALIZED (SELECT r, b, COUNT(*) AS c FROM buckets GROUP BY r, b),
+truth AS (SELECT term, COUNT(*) AS true_count FROM tok GROUP BY term),
+top AS (
+    SELECT term, true_count FROM (
+        SELECT term, true_count,
+               ROW_NUMBER() OVER (ORDER BY true_count DESC, term) AS rk
+        FROM truth) WHERE rk <= {top_k}),
+probes AS (
+    SELECT t.term, t.true_count, r.r,
+           ('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || t.term), 1, 6))::BIGINT
+               % {width} AS b
+    FROM top t CROSS JOIN rows_ r)
+SELECT p.term, p.true_count, MIN(s.c) AS cms_estimate
+FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+GROUP BY p.term, p.true_count
+"""

@@ -153,3 +153,33 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
     }
     assert got[(1, "x")] == 0.0  # df == N
     assert _math.isclose(got[(1, "y")], _math.log(2.0), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------- count-min
+
+def test_cms_estimate_dominates_truth_and_is_tight_when_sparse(spark):
+    from pgs_spark.operators.corpus import cms_token_counts
+
+    d = docs_df(
+        spark,
+        [
+            (1, "heavy heavy heavy heavy light rare", "en"),
+            (2, "heavy heavy light light other words here", "en"),
+        ],
+    )
+    got = {r.term: r for r in cms_token_counts(d, depth=4, width=64, top_k=10).collect()}
+    assert got["heavy"].true_count == 6
+    for r in got.values():
+        assert r.cms_estimate >= r.true_count  # one-sided CMS guarantee
+    # 9 distinct tokens over 4x64 buckets: collisions are possible but the
+    # MIN over 4 independent rows must stay tight for the heavy hitter
+    assert got["heavy"].cms_estimate == 6
+
+
+def test_cms_is_deterministic(spark):
+    from pgs_spark.operators.corpus import cms_token_counts
+
+    d = docs_df(spark, [(i, f"tok{i % 5} tok{i % 3} common", "en") for i in range(20)])
+    a = sorted(map(tuple, cms_token_counts(d).collect()))
+    b = sorted(map(tuple, cms_token_counts(d).collect()))
+    assert a == b
