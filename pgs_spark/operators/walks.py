@@ -45,6 +45,10 @@ def random_walks(
         .filter(F.col("vertex") % start_mod == 0)
         .select(F.col("vertex").alias("walk_id"), "vertex")
     )
+    # each frontier feeds BOTH the next step and one branch of the output
+    # union — persist per step so the union's L branches read cached state
+    # instead of re-executing ever-longer join chains (O(L²) joins unpersisted)
+    frontier = frontier.persist()
     out = frontier.select("walk_id", F.lit(0).alias("step"), "vertex")
     for t in range(1, walk_len + 1):
         h = F.md5(
@@ -60,6 +64,7 @@ def random_walks(
             .groupBy("walk_id")
             .agg(F.min(F.struct("h", "dst")).alias("m"))
             .select("walk_id", F.col("m.dst").alias("vertex"))
+            .persist()
         )
         out = out.unionByName(
             frontier.select("walk_id", F.lit(t).alias("step"), "vertex")
