@@ -837,6 +837,18 @@ def q_stream_census(spark, sf_dir):
     return streaming_quality_census(spark, f"{sf_dir}/documents.parquet")
 
 
+def q_stream_cms(spark, sf_dir):
+    """STREAMING count-min-sketch build: token explode × deterministic hash
+    rows → stateful depth×width cell counts → availableNow drain == the
+    batch sketch, cell for cell — bounded state for unbounded input made
+    literal. Oracle: plans/docs_sql.cms_sketch_cells_sql."""
+    from pgs_spark.streaming.windows import streaming_cms_sketch
+
+    return streaming_cms_sketch(
+        spark, f"{sf_dir}/documents.parquet", depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+
+
 def _points2d(spark, sf_dir):
     """2D points from the first two embedding dims (float32 → double widens
     exactly, so both engines see identical coordinates)."""
@@ -1563,6 +1575,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_weighted": q_modularity_weighted,
         "double_sweep": q_double_sweep,
         "cms_counts": q_cms_counts,
+        "stream_cms": q_stream_cms,
     }
 
 
@@ -1742,6 +1755,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": dsql.pii_scrub_sql(),
         "stream_dedup": dsql.stream_dedup_sql(),
         "stream_census": dsql.quality_census_sql(),
+        "stream_cms": dsql.cms_sketch_cells_sql(
+            depth=CMS_DEPTH, width=CMS_WIDTH
+        ),
         "closest_pair": f"""
             WITH p AS ({PAIR_POINTS_SQL}),
             s AS (SELECT a.id AS a, b.id AS b,

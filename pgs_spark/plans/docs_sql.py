@@ -761,3 +761,20 @@ SELECT p.term, p.true_count, MIN(s.c) AS cms_estimate
 FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
 GROUP BY p.term, p.true_count
 """
+
+
+def cms_sketch_cells_sql(depth: int = 4, width: int = 64) -> str:
+    """Raw count-min sketch cells oracle (mirrors
+    streaming/windows.streaming_cms_sketch AND the batch sketch build in
+    corpus.cms_token_counts): the depth×width integer cell counts."""
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT unnest({TOKS}) AS term FROM documents),
+rows_ AS (SELECT unnest(range(0, {depth})) AS r)
+SELECT CAST(r AS INT) AS r,
+       ('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || term), 1, 6))::BIGINT
+           % {width} AS b,
+       COUNT(*) AS c
+FROM tok CROSS JOIN rows_
+GROUP BY 1, 2
+"""

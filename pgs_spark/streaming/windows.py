@@ -168,3 +168,69 @@ def streaming_quality_census(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_cms_sketch(
+    spark: SparkSession, docs_parquet: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """STREAMING count-min-sketch build: readStream over the documents
+    parquet → token explode × depth deterministic md5 hash rows → stateful
+    groupBy(row, bucket) COUNT → availableNow drain. Counts are
+    order-insensitive integer sums, so the drained depth×width sketch
+    equals the batch build exactly (the corpus.cms_token_counts sketch) —
+    the oracle replays it cell for cell.
+
+    This is how a sketch deploys on an unbounded stream: state is EXACTLY
+    depth·width rows no matter how much data flows, the "bounded state for
+    unbounded input" contract made literal."""
+    import os
+
+    from pgs_spark.functions.text import tokens as _tokens
+
+    batch_schema = spark.read.parquet(docs_parquet).schema
+    if os.path.isdir(docs_parquet):
+        reader = spark.readStream.schema(batch_schema)
+        src = docs_parquet
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", os.path.basename(docs_parquet)
+        )
+        src = os.path.dirname(docs_parquet)
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    agg = (
+        reader.parquet(src)
+        .select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .select("term", F.explode(rows).alias("r"))
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("r").cast("string"), F.lit("|"), F.col("term")
+                            )
+                        ),
+                        1,
+                        6,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    name = f"cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

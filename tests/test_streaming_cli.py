@@ -242,3 +242,45 @@ def test_cli_corpus_clean_roundtrip(spark, tmp_path, capsys):
     assert stats["n_kept"] == 2  # exact dup and junk removed
     kept_ids = {r.doc_id for r in spark.read.parquet(out_path).collect()}
     assert kept_ids == {1, 4}
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """availableNow CMS drain == the batch depth×width sketch, cell for
+    cell, regardless of file-split arrival order."""
+    import pandas as pd
+
+    from pgs_spark.streaming.windows import streaming_cms_sketch
+
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"alpha beta{i % 3} gamma{i % 7} alpha", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    ).repartition(4).write.parquet(docs_path)
+
+    got = streaming_cms_sketch(spark, docs_path, depth=4, width=16).toPandas()
+    from pgs_spark.functions.text import tokens
+
+    rows = F.array(*[F.lit(r) for r in range(4)])
+    batch = (
+        spark.read.parquet(docs_path)
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+        .select("term", F.explode(rows).alias("r"))
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("r").cast("string"), F.lit("|"), F.col("term"))),
+                        1, 6,
+                    ), 16, 10,
+                ).cast("long") % 16
+            ).alias("b"),
+        )
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+        .toPandas()
+    )
+    key = lambda df: df.sort_values(["r", "b"], ignore_index=True)
+    pd.testing.assert_frame_equal(key(got), key(batch), check_dtype=False)
+    # bounded state: never more than depth*width cells
+    assert len(got) <= 4 * 16
