@@ -440,6 +440,25 @@ def q_dsir_weights(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion view→click→purchase (operators/corpus.
+    funnel_counts): per-stage min-ts forward joins, strict ordering —
+    the product-analytics staple. Oracle: docs_sql.funnel_sql."""
+    from pgs_spark.operators.corpus import funnel_counts
+
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_hll_tokens(spark, sf_dir):
+    """Per-language HLL distinct-token estimate (operators/corpus.
+    hll_distinct_tokens): the HyperBall register construction grouped —
+    bounded sketch state per group, dyadic-exact cross-engine.
+    Oracle: docs_sql.hll_distinct_tokens_sql."""
+    from pgs_spark.operators.corpus import hll_distinct_tokens
+
+    return hll_distinct_tokens(load_table(spark, sf_dir, "documents"))
+
+
 def q_cms_counts(spark, sf_dir):
     """Count-min sketch with deterministic md5 hash rows (operators/corpus.
     cms_token_counts): true top-20 tokens vs sketch estimates — the
@@ -1576,6 +1595,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "double_sweep": q_double_sweep,
         "cms_counts": q_cms_counts,
         "stream_cms": q_stream_cms,
+        "funnel": q_funnel,
+        "hll_tokens": q_hll_tokens,
     }
 
 
@@ -1890,6 +1911,8 @@ def oracle_sql() -> dict[str, str]:
             dense, walk_len=WALK_LEN, start_mod=WALK_MOD
         ),
         "tfidf_terms": dsql.tfidf_top_terms_sql(top_k=TFIDF_K),
+        "funnel": dsql.funnel_sql(),
+        "hll_tokens": dsql.hll_distinct_tokens_sql(),
         "cms_counts": dsql.cms_token_counts_sql(
             depth=CMS_DEPTH, width=CMS_WIDTH, top_k=CMS_TOPK
         ),

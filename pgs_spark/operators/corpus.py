@@ -463,3 +463,94 @@ def cms_token_counts(
         .groupBy("term", "true_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel conversion: users who did stage1, then stage2 strictly
+    later, then stage3 strictly later still (classic product-analytics
+    funnel). Returns one row per stage: (stage_idx, stage, n_users).
+
+    Pure relational: per-stage min-timestamp aggregation joined forward —
+    three map-side-combinable groupBys and two user-key equi-joins; integer
+    outputs, deterministic under timestamp ties (strict > drops same-instant
+    conversions identically in both engines).
+    """
+    e = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t"), F.col(ts_col).alias("ts")
+    )
+    s1 = (
+        e.filter(F.col("t") == stages[0])
+        .groupBy("u")
+        .agg(F.min("ts").alias("t1"))
+        .persist()
+    )
+    s2 = (
+        e.filter(F.col("t") == stages[1])
+        .join(s1, "u")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("u")
+        .agg(F.min("ts").alias("t2"))
+        .persist()
+    )
+    s3 = (
+        e.filter(F.col("t") == stages[2])
+        .join(s2, "u")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("u")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = None
+    for i, (name, df) in enumerate([(stages[0], s1), (stages[1], s2), (stages[2], s3)]):
+        r = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
+
+
+def hll_distinct_tokens(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-token estimate using the HyperBall
+    register construction (operators/hyperball.py: j = first md5 nibble of
+    the token, rho = 17 − bitlength of the next 16 bits, m=16, raw
+    estimator, no linear-counting correction — the same dyadic-exact
+    cross-engine argument). Returns (group, n_tokens, distinct_est_r).
+
+    The aggregation state is m rows per group regardless of corpus size —
+    the bounded-sketch shape groupwise: a 100-TB corpus reduces to
+    |groups|·16 register rows in one map-side-combinable pass.
+    """
+    h = F.md5(F.col("w"))
+    w16 = F.conv(F.substring(h, 2, 4), 16, 10).cast("int")
+    tok = docs.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).select(
+        "grp",
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("j"),
+        F.when(w16 == 0, F.lit(17))
+        .otherwise(F.lit(17) - F.length(F.bin(w16.cast("long"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    counts = tok.groupBy("grp").agg(F.count("*").alias("n_tokens"))
+    regs = tok.groupBy("grp", "j").agg(F.max("rho").alias("rho"))
+    est = (
+        F.lit(0.673 * 256.0)
+        / (
+            (F.lit(16) - F.count("*")).cast("double")
+            + F.sum(F.lit(1.0) / F.expr("shiftleft(1, rho)").cast("double"))
+        )
+    )
+    out = regs.groupBy("grp").agg(F.round(est, 6).alias("distinct_est_r"))
+    return counts.join(out, "grp").select(
+        F.col("grp").alias(group_col), "n_tokens", "distinct_est_r"
+    )

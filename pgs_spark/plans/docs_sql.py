@@ -778,3 +778,49 @@ SELECT CAST(r AS INT) AS r,
 FROM tok CROSS JOIN rows_
 GROUP BY 1, 2
 """
+
+
+def funnel_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    """Ordered-funnel oracle (mirrors corpus.funnel_counts): per-stage min
+    timestamps joined forward with strict > — integer user counts."""
+    s1, s2, s3 = stages
+    return f"""
+WITH st1 AS MATERIALIZED (
+    SELECT user_id AS u, MIN(ts) AS t1 FROM events
+    WHERE event_type = '{s1}' GROUP BY user_id),
+st2 AS MATERIALIZED (
+    SELECT e.user_id AS u, MIN(e.ts) AS t2 FROM events e JOIN st1 ON e.user_id = st1.u
+    WHERE e.event_type = '{s2}' AND e.ts > st1.t1 GROUP BY e.user_id),
+st3 AS MATERIALIZED (
+    SELECT e.user_id AS u, MIN(e.ts) AS t3 FROM events e JOIN st2 ON e.user_id = st2.u
+    WHERE e.event_type = '{s3}' AND e.ts > st2.t2 GROUP BY e.user_id)
+SELECT CAST(1 AS INT) AS stage_idx, '{s1}' AS stage, (SELECT COUNT(*) FROM st1) AS n_users
+UNION ALL
+SELECT CAST(2 AS INT), '{s2}', (SELECT COUNT(*) FROM st2)
+UNION ALL
+SELECT CAST(3 AS INT), '{s3}', (SELECT COUNT(*) FROM st3)
+"""
+
+
+def hll_distinct_tokens_sql(group_col: str = "lang") -> str:
+    """Per-group HLL distinct-token oracle (mirrors
+    corpus.hll_distinct_tokens): the hyperball register construction over
+    md5(token), grouped — dyadic-exact estimate, integer token counts."""
+    est = (
+        "0.673 * 256.0 / (CAST(16 - COUNT(*) AS DOUBLE)"
+        " + SUM(1.0 / CAST(1 << rho AS DOUBLE)))"
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+    SELECT {group_col} AS grp,
+           ('0x' || substr(md5(w), 1, 1))::INT AS j,
+           CASE WHEN w16 = 0 THEN 17 ELSE 17 - length(bin(w16)) END AS rho
+    FROM (SELECT {group_col}, w,
+                 ('0x' || substr(md5(w), 2, 4))::INT AS w16
+          FROM (SELECT {group_col}, unnest({TOKS}) AS w FROM documents))),
+counts AS (SELECT grp, COUNT(*) AS n_tokens FROM tok GROUP BY grp),
+regs AS (SELECT grp, j, MAX(rho) AS rho FROM tok GROUP BY grp, j),
+ests AS (SELECT grp, ROUND({est}, 6) AS distinct_est_r FROM regs GROUP BY grp)
+SELECT c.grp AS {group_col}, c.n_tokens, e.distinct_est_r
+FROM counts c JOIN ests e ON c.grp = e.grp
+"""

@@ -183,3 +183,44 @@ def test_cms_is_deterministic(spark):
     a = sorted(map(tuple, cms_token_counts(d).collect()))
     b = sorted(map(tuple, cms_token_counts(d).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------- funnel
+
+def test_funnel_known_answer(spark):
+    from datetime import datetime
+
+    from pgs_spark.operators.corpus import funnel_counts
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1 completes the funnel in order
+        (1, "view", t(1)), (1, "click", t(2)), (1, "purchase", t(3)),
+        # user 2 clicks BEFORE viewing -> stops at stage 1
+        (2, "click", t(1)), (2, "view", t(2)),
+        # user 3 views+clicks, purchase same instant as click -> strict > drops it
+        (3, "view", t(1)), (3, "click", t(2)), (3, "purchase", t(2)),
+        # user 4 never views
+        (4, "click", t(1)), (4, "purchase", t(2)),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.stage: r.n_users for r in funnel_counts(e).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_distinct_tokens_accuracy_and_determinism(spark):
+    from pgs_spark.operators.corpus import hll_distinct_tokens
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i * 10, i * 10 + 10)), "en") for i in range(20)]
+    rows += [(100 + i, "a b c a b c", "fr") for i in range(5)]
+    d = docs_df(spark, rows)
+    got = {r.lang: r for r in hll_distinct_tokens(d).collect()}
+    assert got["en"].n_tokens == 200
+    # 200 distinct tokens, m=16 HLL: documented ~26% RSE -> generous band
+    assert 100 <= got["en"].distinct_est_r <= 400
+    assert got["fr"].n_tokens == 30
+    a = sorted(map(tuple, hll_distinct_tokens(d).collect()))
+    b = sorted(map(tuple, hll_distinct_tokens(d).collect()))
+    assert a == b
