@@ -251,3 +251,29 @@ def test_personalized_empty_seed_slice_raises(spark):
 
     with _pytest.raises(ValueError):
         pagerank(spark, edges_df(spark, [(1, 2)]), personalize_mod=97)
+
+
+def test_personalized_checkpoint_resume_identical(spark, tmp_path):
+    """Durable resume must preserve the PERSONALIZED teleport: interrupt a
+    seeded-restart run after 2 supersteps, resume to 8, compare to an
+    uninterrupted personalized run (same float-reproducibility bound as the
+    plain resume test)."""
+    pairs = random_graph(30, 0.12, seed=21, directed=True)
+    e = edges_df(spark, pairs)
+    cp = str(tmp_path / "ck_ppr")
+
+    interrupted = pagerank(
+        spark, e, fixed_iterations=2, checkpoint_dir=cp, personalize_mod=5
+    )
+    assert interrupted.iterations == 2
+    resumed = pagerank(
+        spark, e, fixed_iterations=8, checkpoint_dir=cp, personalize_mod=5
+    )
+    straight = pagerank(spark, e, fixed_iterations=8, personalize_mod=5)
+
+    a = {r["id"]: r["rank"] for r in resumed.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in straight.ranks.collect()}
+    assert set(a) == set(b)
+    ids = sorted(a)
+    assert np.allclose([a[i] for i in ids], [b[i] for i in ids], atol=1e-13)
+    assert len(resumed.history) == 6
