@@ -67,6 +67,8 @@ TFIDF_K = 3  # tf-idf: top terms per doc
 CMS_DEPTH = 4  # count-min sketch: hash rows
 CMS_WIDTH = 64  # count-min sketch: buckets per row
 CMS_TOPK = 20  # count-min sketch: probed heavy hitters
+SCORE_S = 4  # s-core: strength threshold
+SCORE_ROUNDS = 3  # s-core: fixed peel rounds (oracle-replayable)
 DSIR_BUCKETS = 256  # dsir: hashed feature buckets
 DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
 
@@ -1078,6 +1080,16 @@ def q_merge_to_k(spark, sf_dir):
     return res.groups.groupBy("group").agg(F.count("*").alias("n_vertices"))
 
 
+def q_score(spark, sf_dir):
+    """s-core: strength-< s peeling on the co-occurrence-weighted graph
+    (operators/merge.score_peel) — kcore's weighted twin for the
+    setEdgeWeight family, fixed rounds. Oracle: osql.score_peel_sql."""
+    from pgs_spark.operators.merge import score_peel
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE)
+    return score_peel(spark, we, s=SCORE_S, rounds=SCORE_ROUNDS)
+
+
 def q_kcore(spark, sf_dir):
     from pgs_spark.operators.merge import kcore
 
@@ -1597,6 +1609,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cms": q_stream_cms,
         "funnel": q_funnel,
         "hll_tokens": q_hll_tokens,
+        "score": q_score,
     }
 
 
@@ -1912,6 +1925,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tfidf_terms": dsql.tfidf_top_terms_sql(top_k=TFIDF_K),
         "funnel": dsql.funnel_sql(),
+        "score": osql.score_peel_sql(dense_w, s=SCORE_S, rounds=SCORE_ROUNDS),
         "hll_tokens": dsql.hll_distinct_tokens_sql(),
         "cms_counts": dsql.cms_token_counts_sql(
             depth=CMS_DEPTH, width=CMS_WIDTH, top_k=CMS_TOPK

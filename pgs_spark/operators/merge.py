@@ -186,3 +186,45 @@ def kcore(
                 break
             prev_n = n
     return e
+
+
+def score_peel(
+    spark: SparkSession,
+    weighted_edges: DataFrame,
+    s: int = 2,
+    rounds: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """s-core: iterative strength-< s peeling — kcore's weighted twin
+    (Eidsaa–Almaas 2013) for the reference's weighted graphs
+    (PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933). Per round,
+    vertices whose STRENGTH (Σ incident weight) is below s drop with their
+    edges; fixed ``rounds`` keeps the program oracle-unrollable (the kcore
+    discipline). Integer weights keep every strength sum exact.
+
+    Input must be canonical undirected (src, dst, weight). Returns the
+    surviving weighted edge set. Same per-round shape as kcore: one
+    map-side-combinable strength aggregation + two semi-joins; state
+    snapshots to parquet (off-heap, alternating names)."""
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_score_")
+    e = weighted_edges.select("src", "dst", F.col(weight_col).alias("weight"))
+    for r in range(rounds):
+        sym_w = e.select(F.col("src").alias("id"), "weight").unionByName(
+            e.select(F.col("dst").alias("id"), "weight")
+        )
+        keep = (
+            sym_w.groupBy("id")
+            .agg(F.sum("weight").alias("strength"))
+            .filter(F.col("strength") >= s)
+            .select("id")
+        )
+        e = snapshot(
+            e.join(keep.withColumnRenamed("id", "src"), "src", "left_semi").join(
+                keep.withColumnRenamed("id", "dst"), "dst", "left_semi"
+            ).select("src", "dst", "weight"),
+            work_dir,
+            f"e_{r % 2}",
+        )
+    return e

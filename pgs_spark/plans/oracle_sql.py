@@ -632,3 +632,25 @@ SELECT (SELECT MIN(u) FROM sym) AS src0,
        s2.id AS far1, CAST(s2.dist AS INT) AS diam_lb
 FROM s1 CROSS JOIN s2
 """
+
+
+def score_peel_sql(weighted_edges_sql: str, s: int = 2, rounds: int = 3) -> str:
+    """Unrolled s-core oracle (mirrors operators/merge.score_peel):
+    per-round strength census + semi-join survival, integer weights."""
+    parts = [f"e0 AS MATERIALIZED (SELECT src, dst, weight FROM ({weighted_edges_sql}))"]
+    for r in range(rounds):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT id FROM ("
+            f"SELECT id, SUM(weight) AS strength FROM ("
+            f"SELECT src AS id, weight FROM e{r}"
+            f" UNION ALL SELECT dst, weight FROM e{r}) GROUP BY id)"
+            f" WHERE strength >= {s})"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst, e.weight FROM e{r} e"
+            f" WHERE EXISTS (SELECT 1 FROM k{r} a WHERE a.id = e.src)"
+            f" AND EXISTS (SELECT 1 FROM k{r} b WHERE b.id = e.dst))"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT src, dst, weight FROM e{rounds}"
+    )

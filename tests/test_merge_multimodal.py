@@ -78,3 +78,28 @@ def test_kcore_convergence_mode(spark):
     e = canonicalize(edges_df(spark, clique + tail))
     survived = {(r["src"], r["dst"]) for r in kcore(spark, e, k=2, rounds=None).collect()}
     assert survived == set(clique)  # whole 7-hop tail peeled, clique intact
+
+
+def test_score_peel_weighted_vs_unweighted(spark):
+    """Weighted peel keeps a low-degree/high-weight vertex that the same
+    threshold on COUNT would drop, and drops high-degree/low-weight ones."""
+    from pgs_spark.operators.merge import score_peel
+
+    # vertex 1: one incident edge of weight 10 (strength 10, degree 1)
+    # vertices 2..5: star around 6 with weight 1 each (strength 1-4)
+    rows = [(0, 1, 10), (6, 2, 1), (6, 3, 1), (6, 4, 1), (6, 5, 1)]
+    we = spark.createDataFrame(rows, "src long, dst long, weight long")
+    got = score_peel(spark, we, s=5, rounds=3).collect()
+    kept = {(r.src, r.dst) for r in got}
+    assert (0, 1) in kept  # strength 10 >= 5 on both ends
+    assert all(e == (0, 1) for e in kept)  # star edges all peel (strength <= 4)
+
+
+def test_score_peel_fixed_point_on_uniform_clique(spark):
+    from pgs_spark.operators.merge import score_peel
+
+    k4 = [(a, b, 2) for a in range(4) for b in range(a + 1, 4)]
+    we = spark.createDataFrame(k4, "src long, dst long, weight long")
+    # strength = 6 everywhere; s=6 keeps all, s=7 empties
+    assert score_peel(spark, we, s=6, rounds=2).count() == 6
+    assert score_peel(spark, we, s=7, rounds=2).count() == 0
