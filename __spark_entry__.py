@@ -71,6 +71,10 @@ SCORE_S = 4  # s-core: strength threshold
 SCORE_ROUNDS = 3  # s-core: fixed peel rounds (oracle-replayable)
 DSIR_BUCKETS = 256  # dsir: hashed feature buckets
 DSIR_MOD = 7  # dsir: target slice doc_id % 7 == 0
+MIS_ROUNDS = 3  # Luby MIS: fixed supersteps (oracle-replayable)
+CORENESS_ROUNDS = 4  # iterated h-index rounds (oracle-replayable)
+STRESS_MOD = 5  # stress centrality: seed slice id % 5 == 0
+STRESS_DEPTH = 3  # stress centrality: BFS depth bound
 
 
 # --------------------------------------------------------------------------
@@ -1462,6 +1466,49 @@ def q_matching(spark, sf_dir):
 
 
 
+def q_mis(spark, sf_dir):
+    """Luby maximal independent set (SURVEY §2.9 coloring family — the
+    independent-set primitive under RLFColoring's color classes and
+    Jones-Plassmann's per-round minima), MIS_ROUNDS fixed hash-priority
+    supersteps over the sparse co-purchase graph. Oracle:
+    operators/independent.luby_mis_sql replays the identical program."""
+    from pgs_spark.operators.independent import luby_mis
+
+    e = co_purchase_edges(spark, sf_dir, MINQ_SPARSE)
+    return luby_mis(spark, e, fixed_rounds=MIS_ROUNDS).members
+
+
+def q_coreness(spark, sf_dir):
+    """Full core decomposition via the iterated neighbor h-index (Lu et al.
+    2016) — kcore()'s single-k peel generalized to every vertex's core
+    number, CORENESS_ROUNDS fixed rounds, all-integer."""
+    from pgs_spark.operators.merge import coreness_hindex
+
+    e = _dense(spark, sf_dir)
+    return coreness_hindex(spark, e, rounds=CORENESS_ROUNDS)
+
+
+def q_ra_links(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou-Lu-Zhang 2009) — the
+    degree-weighted refinement of link_predict; Σ 1/deg(z) carried in
+    fixed-point micro-units so the cross-engine sum is an order-free
+    integer (no float-sum nondeterminism)."""
+    from pgs_spark.operators.community import resource_allocation_links
+
+    e = _dense(spark, sf_dir)
+    return resource_allocation_links(spark, e, min_common=LP_MIN_CN)
+
+
+def q_stress(spark, sf_dir):
+    """Stress centrality from the id % STRESS_MOD == 0 seed slice within
+    STRESS_DEPTH hops — Brandes' two-phase shape with all-integer path
+    counts (the exactly-replayable sibling of betweenness)."""
+    from pgs_spark.operators.centrality import stress_from_seeds
+
+    e = _dense(spark, sf_dir)
+    return stress_from_seeds(spark, e, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH)
+
+
 def q_sfc_tour(spark, sf_dir):
     """GreedyTSP role (SURVEY §2.9) as a space-filling-curve tour over the
     embedding points (Platzman-Bartholdi SFC heuristic — the distributed
@@ -1583,6 +1630,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "circle_pack": q_circle_pack,
         "matching": q_matching,
+        "mis": q_mis,
+        "coreness": q_coreness,
+        "ra_links": q_ra_links,
+        "stress_centrality": q_stress,
         "sfc_tour": q_sfc_tour,
         "spanner_weighted": q_spanner_weighted,
         "matching_weighted": q_matching_weighted,
@@ -1853,6 +1904,16 @@ def oracle_sql() -> dict[str, str]:
         "matching": __import__(
             "pgs_spark.operators.matching", fromlist=["matching_sql"]
         ).matching_sql(sparse, rounds=3),
+        "mis": __import__(
+            "pgs_spark.operators.independent", fromlist=["luby_mis_sql"]
+        ).luby_mis_sql(sparse, rounds=MIS_ROUNDS),
+        "coreness": __import__(
+            "pgs_spark.operators.merge", fromlist=["coreness_hindex_sql"]
+        ).coreness_hindex_sql(dense, rounds=CORENESS_ROUNDS),
+        "ra_links": osql.ra_links_sql(dense, min_common=LP_MIN_CN),
+        "stress_centrality": osql.stress_sql(
+            dense, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH
+        ),
         "spanner": __import__(
             "pgs_spark.operators.spanner", fromlist=["spanner_sql"]
         ).spanner_sql(sparse, k=2, seed=7),

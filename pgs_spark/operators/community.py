@@ -247,3 +247,62 @@ def reciprocity(spark: SparkSession, edges: DataFrame, round_to: int = 6) -> Dat
             round_to,
         ).alias("recip_r"),
     )
+
+
+def resource_allocation_links(
+    spark: SparkSession,
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
+) -> DataFrame:
+    """Resource-allocation link prediction (Zhou, Lu, Zhang 2009): score a
+    non-adjacent distance-2 pair by Σ_z 1/deg(z) over common neighbors z —
+    the degree-weighted refinement of ``common_neighbor_links`` (low-degree
+    mediators count for more; the strongest simple predictor in the Zhou
+    et al. benchmark, ahead of Adamic-Adar, with no transcendental log).
+
+    DETERMINISM: a float Σ 1/deg is summation-order-dependent (IEEE doubles
+    are not associative), and Spark and DuckDB aggregate groups in different
+    orders — so the score is computed in FIXED-POINT MICRO-UNITS:
+    ra_micro = Σ CAST(ROUND(1e6/deg(z)) AS BIGINT). Each term is one
+    correctly-rounded IEEE division + one half-away-from-zero round
+    (identical in both engines); the sum is then an order-free integer —
+    bit-exact cross-engine, no epsilon anywhere. ra = ra_micro / 1e6 at 6dp
+    precision, the same resolution every rounded float in this engine gets.
+
+    Same wedge-join plan (and hub cap) as ``common_neighbor_links``; the
+    center's degree joins BEFORE the pair groupBy, so the aggregate is one
+    map-side-combinable integer SUM.
+
+    Returns (src, dst, common_neighbors, ra_micro) with src < dst,
+    non-adjacent, common_neighbors >= min_common.
+    """
+    und = canonicalize(edges).persist()
+    sym = symmetrize(und)
+    deg = degrees(und)
+    if max_center_degree is not None:
+        deg = deg.filter(F.col("degree") <= max_center_degree)
+    term = F.round(F.lit(1000000.0) / F.col("degree"), 0).cast("long")
+    center = deg.select(F.col("id").alias("v"), term.alias("ra_term"))
+    s1 = sym.select(F.col("src").alias("a"), F.col("dst").alias("v"))
+    s2 = sym.select(F.col("src").alias("v"), F.col("dst").alias("b"))
+    cn = (
+        s1.join(center, "v")
+        .join(s2, "v")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum("ra_term").alias("ra_micro"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    non_edges = cn.join(
+        und,
+        (cn["a"] == und["src"]) & (cn["b"] == und["dst"]),
+        "left_anti",
+    )
+    return non_edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        "common_neighbors", "ra_micro",
+    )

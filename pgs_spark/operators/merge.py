@@ -228,3 +228,79 @@ def score_peel(
             f"e_{r % 2}",
         )
     return e
+
+
+def coreness_hindex(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Per-vertex CORE NUMBER via the iterated neighbor h-index.
+
+    kcore() answers "which edges survive the k-core?" for ONE k; the full
+    decomposition (every vertex's core number — the reference consumes it
+    wherever FastPolygonizer's peel loop classifies vertices by how deep
+    they survive) is the fixed point of the h-index operator (Lu, Chen,
+    Zhou, Stanley 2016, "The H-index of a network node"): start from
+    value_0 = degree and repeatedly set
+
+        value_{t+1}(v) = H({ value_t(u) : u ~ v })
+
+    where H of a multiset is the largest h such that at least h elements
+    are >= h. The sequence is monotone non-increasing and converges to the
+    core number; distributed peeling by contrast is inherently sequential
+    in k. Fixed ``rounds`` keeps the program oracle-unrollable (the kcore
+    discipline): both engines run the identical t rounds, so they agree
+    even before the fixed point.
+
+    Plan per round: symmetrized edges join current values (shuffle on v),
+    per-vertex rank of neighbor values (window over the vertex's adjacency
+    — bounded by max degree; hubs of degree d rank d rows, the same bound
+    as every gather in this engine), then H = max(min(rank, value)) as a
+    map-side-combinable aggregate. All arithmetic is integer — exact
+    cross-engine parity, no rounding anywhere.
+
+    Returns (id, coreness).
+    """
+    from pyspark.sql import Window
+
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_coreness_")
+    sym = symmetrize(
+        undirected_edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = snapshot(sym, work_dir, "sym")
+    vals = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("val"))
+    w = Window.partitionBy("u").orderBy(F.desc("val"), F.asc("v"))
+    for r in range(rounds):
+        nbr = sym.join(vals.select(F.col("id").alias("v"), "val"), "v")
+        ranked = nbr.withColumn("rn", F.row_number().over(w))
+        vals = (
+            ranked.groupBy(F.col("u").alias("id"))
+            .agg(F.max(F.least(F.col("rn").cast("long"), F.col("val"))).alias("val"))
+        )
+        vals = snapshot(vals, work_dir, f"vals_{r % 2}")
+    return vals.select("id", F.col("val").alias("coreness"))
+
+
+def coreness_hindex_sql(edges_sql: str, rounds: int = 4) -> str:
+    """Unrolled DuckDB oracle: the identical fixed-round h-index iteration."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0 "
+        "UNION ALL SELECT dst, src FROM e0)",
+        "val0 AS MATERIALIZED (SELECT u AS id, COUNT(*) AS val FROM sym GROUP BY u)",
+    ]
+    prev = "val0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"val{r} AS MATERIALIZED (SELECT u AS id, "
+            f"MAX(LEAST(rn, val)) AS val FROM ("
+            f"SELECT s.u, p.val, ROW_NUMBER() OVER "
+            f"(PARTITION BY s.u ORDER BY p.val DESC, s.v ASC) AS rn "
+            f"FROM sym s JOIN {prev} p ON s.v = p.id) t GROUP BY u)"
+        )
+        prev = f"val{r}"
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, val AS coreness FROM {prev}"

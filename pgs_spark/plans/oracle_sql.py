@@ -654,3 +654,80 @@ def score_peel_sql(weighted_edges_sql: str, s: int = 2, rounds: int = 3) -> str:
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT src, dst, weight FROM e{rounds}"
     )
+
+
+def ra_links_sql(edges_sql: str, min_common: int = 2) -> str:
+    """Resource-allocation link prediction oracle (mirrors
+    operators/community.resource_allocation_links, exact path — no hub
+    cap): fixed-point micro-unit terms make the Σ 1/deg an order-free
+    integer sum, bit-exact against Spark."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+cn AS (
+    SELECT s1.u AS a, s2.v AS b, COUNT(*) AS common_neighbors,
+           CAST(SUM(CAST(ROUND(1000000.0 / d.degree, 0) AS BIGINT)) AS BIGINT) AS ra_micro
+    FROM sym s1
+    JOIN deg d ON s1.v = d.id
+    JOIN sym s2 ON s1.v = s2.u
+    WHERE s1.u < s2.v
+    GROUP BY s1.u, s2.v
+    HAVING COUNT(*) >= {min_common})
+SELECT c.a AS src, c.b AS dst, c.common_neighbors, c.ra_micro
+FROM cn c
+WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.a AND e.dst = c.b)
+"""
+
+
+def stress_sql(edges_sql: str, seed_mod: int, max_depth: int = 3) -> str:
+    """Unrolled DuckDB oracle for operators/centrality.stress_from_seeds:
+    per-seed BFS sigma levels forward, integer path-count accumulation
+    backward, stress = Σ_seeds sigma * psi. All-integer — exact parity.
+    Seeds are the id % seed_mod == 0 vertex slice (scale-generic)."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)",
+        f"sym AS MATERIALIZED ({sym_cte('e0')})",
+        f"seeds AS (SELECT DISTINCT u AS s FROM sym WHERE u % {seed_mod} = 0)",
+        "l0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "seen0 AS (SELECT s, id FROM l0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts += [
+            f"l{d} AS MATERIALIZED (SELECT p.s, y.v AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM l{d - 1} p JOIN sym y ON y.u = p.id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} z "
+            f"WHERE z.s = p.s AND z.id = y.v) "
+            f"GROUP BY p.s, y.v)",
+            f"seen{d} AS MATERIALIZED (SELECT s, id FROM seen{d - 1} "
+            f"UNION ALL SELECT s, id FROM l{d})",
+        ]
+    parts.append(f"psi{max_depth} AS (SELECT s, id, CAST(0 AS BIGINT) AS psi FROM l{max_depth})")
+    for d in range(max_depth - 1, -1, -1):
+        parts.append(
+            f"psi{d} AS MATERIALIZED (SELECT v.s, v.id, "
+            f"CAST(COALESCE(SUM(1 + w.psi), 0) AS BIGINT) AS psi "
+            f"FROM l{d} v "
+            f"LEFT JOIN (SELECT p.s, y.u, p.psi FROM psi{d + 1} p "
+            f"JOIN sym y ON y.v = p.id) w ON w.s = v.s AND w.u = v.id "
+            f"GROUP BY v.s, v.id)"
+        )
+    lvl_union = " UNION ALL ".join(
+        f"SELECT s, id, sigma FROM l{d}" for d in range(max_depth + 1)
+    )
+    psi_union = " UNION ALL ".join(
+        f"SELECT s, id, psi FROM psi{d}" for d in range(max_depth + 1)
+    )
+    parts += [
+        f"sig AS ({lvl_union})",
+        f"ps AS ({psi_union})",
+        "contrib AS (SELECT g.s, g.id, g.sigma * p.psi AS c "
+        "FROM sig g JOIN ps p ON g.s = p.s AND g.id = p.id "
+        "WHERE g.id <> g.s)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT id, CAST(SUM(c) AS BIGINT) AS stress "
+        + "FROM contrib GROUP BY id HAVING SUM(c) > 0"
+    )
