@@ -75,6 +75,10 @@ MIS_ROUNDS = 3  # Luby MIS: fixed supersteps (oracle-replayable)
 CORENESS_ROUNDS = 4  # iterated h-index rounds (oracle-replayable)
 STRESS_MOD = 5  # stress centrality: seed slice id % 5 == 0
 STRESS_DEPTH = 3  # stress centrality: BFS depth bound
+LOUVAIN_ROUNDS = 2  # parallel-Louvain synchronous local-move rounds
+KATZ_ROUNDS = 4  # Katz truncation rounds (oracle-replayable)
+MEANAGG_ROUNDS = 2  # SGC mean-aggregate smoothing rounds
+MIX_TAU = 0.5  # temperature mix: the sqrt regime (correctly rounded cross-engine)
 
 
 # --------------------------------------------------------------------------
@@ -1518,6 +1522,60 @@ def q_sfc_tour(spark, sf_dir):
     return sfc_tour(_points2d(spark, sf_dir))
 
 
+def q_rectangles(spark, sf_dir):
+    """Global 4-cycle count (operators/triangles.rectangle_count) — the
+    quad-face sibling of triangle_count (the reference's quadrangulation
+    family, PGS_Meshing): wedge-pair identity Σ C(|N(u)∩N(w)|,2)/2, pure
+    integers, one wedge self-join collapsed map-side. Oracle:
+    osql.rectangles_sql."""
+    from pgs_spark.operators.triangles import rectangle_count
+
+    return rectangle_count(spark, _dense(spark, sf_dir))
+
+
+def q_louvain(spark, sf_dir):
+    """Parallel Louvain phase-1 (operators/community.louvain_local_move):
+    LOUVAIN_ROUNDS synchronous local-move rounds with all-integer modularity
+    gains 2m·k_vc − deg·(tot − [own]·deg), argmax by (gain DESC, comm ASC).
+    Oracle: osql.louvain_sql replays the identical program."""
+    from pgs_spark.operators.community import louvain_local_move
+
+    return louvain_local_move(spark, _dense(spark, sf_dir), rounds=LOUVAIN_ROUNDS)
+
+
+def q_katz(spark, sf_dir):
+    """Katz centrality (operators/centrality.katz_centrality), KATZ_ROUNDS
+    truncated attenuated-walk rounds in integer micro-units with floor-div
+    damping α=5/100 — bit-exact cross-engine. Oracle: osql.katz_sql."""
+    from pgs_spark.operators.centrality import katz_centrality
+
+    return katz_centrality(spark, _dense(spark, sf_dir), rounds=KATZ_ROUNDS)
+
+
+def q_mean_aggregate(spark, sf_dir):
+    """GNN-preprocessing neighborhood mean smoothing (operators/features.
+    mean_aggregate_features — SGC/GraphSAGE-mean; the smoothMesh averaging
+    loop graft): MEANAGG_ROUNDS rounds of x' = (Σ_N x) DIV deg over the
+    degree feature in micro-units. Oracle: osql.mean_agg_sql."""
+    from pgs_spark.operators.features import mean_aggregate_features
+
+    return mean_aggregate_features(
+        spark, _dense(spark, sf_dir), rounds=MEANAGG_ROUNDS
+    )
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled sampling weights (operators/corpus.
+    temperature_mix_weights): p_lang ∝ n^τ at τ=MIX_TAU (the mBERT/XLM-R
+    multilingual-mix rule), micro-unit weights so the normalization is an
+    order-free integer sum. Oracle: inline SQL in oracle_sql()."""
+    from pgs_spark.operators.corpus import temperature_mix_weights
+
+    return temperature_mix_weights(
+        load_table(spark, sf_dir, "documents"), tau=MIX_TAU
+    )
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1634,6 +1692,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "ra_links": q_ra_links,
         "stress_centrality": q_stress,
+        "rectangles": q_rectangles,
+        "louvain": q_louvain,
+        "katz": q_katz,
+        "mean_aggregate": q_mean_aggregate,
+        "mix_temperature": q_mix_temperature,
         "sfc_tour": q_sfc_tour,
         "spanner_weighted": q_spanner_weighted,
         "matching_weighted": q_matching_weighted,
@@ -1914,6 +1977,27 @@ def oracle_sql() -> dict[str, str]:
         "stress_centrality": osql.stress_sql(
             dense, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH
         ),
+        "rectangles": osql.rectangles_sql(dense),
+        "louvain": osql.louvain_sql(dense, rounds=LOUVAIN_ROUNDS),
+        "katz": osql.katz_sql(dense, rounds=KATZ_ROUNDS),
+        "mean_aggregate": osql.mean_agg_sql(dense, rounds=MEANAGG_ROUNDS),
+        "mix_temperature": """
+            WITH cnt AS (SELECT lang AS stratum, COUNT(*) AS n_docs
+                         FROM documents GROUP BY lang),
+            pw AS (SELECT stratum, n_docs,
+                          CAST(ROUND(SQRT(CAST(n_docs AS DOUBLE)) * 1000000.0, 0)
+                               AS BIGINT) AS w_micro
+                   FROM cnt),
+            tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total,
+                           CAST(SUM(n_docs) AS BIGINT) AS n_total FROM pw)
+            SELECT stratum, n_docs, w_micro,
+                   ROUND(CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE), 6)
+                       AS weight_r,
+                   ROUND((CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE))
+                         / (CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+                       AS boost_r
+            FROM pw CROSS JOIN tot
+        """,
         "spanner": __import__(
             "pgs_spark.operators.spanner", fromlist=["spanner_sql"]
         ).spanner_sql(sparse, k=2, seed=7),

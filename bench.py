@@ -385,6 +385,37 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         ).ranks.count(),
     )
 
+    # round-5c graph ops: rectangle (4-cycle) count (the wedge self-join
+    # collapsed to pair counts — same Σdeg² fan-out as clustering_coeff, so
+    # same graph), parallel Louvain phase-1 (2 synchronous integer-gain
+    # rounds + the Grappolo swap guard), Katz centrality and mean-aggregate
+    # feature smoothing (each round = one dart join + one integer SUM — the
+    # PageRank superstep shape without the dangling pass).
+    from pgs_spark.operators.centrality import katz_centrality
+    from pgs_spark.operators.community import louvain_local_move
+    from pgs_spark.operators.features import mean_aggregate_features
+    from pgs_spark.operators.triangles import rectangle_count
+
+    # rectangles' wedge self-join is UNORIENTED (Σdeg² fan-out, unlike the
+    # degree-oriented triangle join) — run it on the thresholded graph,
+    # exactly like link_predict above.
+    timed(
+        "rectangles",
+        lambda: rectangle_count(spark, cop_sparse).count(),
+    )
+    timed(
+        "louvain_2r",
+        lambda: louvain_local_move(spark, cop, rounds=2).count(),
+    )
+    timed(
+        "katz_4r",
+        lambda: katz_centrality(spark, cop, rounds=4).count(),
+    )
+    timed(
+        "mean_aggregate_2r",
+        lambda: mean_aggregate_features(spark, cop, rounds=2).count(),
+    )
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign
@@ -393,6 +424,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     docs = load_table(spark, sf_dir, "documents").persist()
     docs.count()
+
+    # round-5c mix op: temperature-scaled sampling weights (one census
+    # groupBy over the corpus + an |S|-row normalization).
+    from pgs_spark.operators.corpus import temperature_mix_weights
+
+    timed(
+        "mix_temperature",
+        lambda: temperature_mix_weights(docs).count(),
+    )
+
     lsh_stats: dict = {}
     extra["minhash_pairs"] = timed(
         "dedup_minhash_lsh",

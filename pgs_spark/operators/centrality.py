@@ -130,3 +130,57 @@ def stress_from_seeds(
         .agg(F.sum("c").alias("stress"))
         .filter(F.col("stress") > 0)
     )
+
+
+def katz_centrality(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    rounds: int = 4,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Katz centrality (Katz 1953) truncated to a fixed round count, in
+    INTEGER MICRO-UNITS — the attenuated-walk-count sibling of PageRank
+    (smoothMesh's averaging loop graft, pagerank.py) that weights ALL walks
+    instead of a stationary random surfer: x = Σ_k α^k A^k 1.
+
+    The recurrence x' = 1 + α·A·x is evaluated in fixed point:
+
+        x_0(v)   = scale                     (1.0 in micro-units)
+        x_{t+1}(v) = scale + (Σ_{u∈N(v)} x_t(u) · alpha_num) DIV alpha_den
+
+    Every term is a BIGINT; the one non-ring op is the floor division, which
+    both engines define identically for non-negative operands — so the
+    DuckDB oracle (plans/oracle_sql.katz_sql) replays the program bit-exact
+    with no rounding epsilon. α = alpha_num/alpha_den (default 0.05) sits
+    below 1/λ_max for the gate graphs, matching the convergent regime of the
+    true series; ``rounds`` is a disclosed truncation, not a silent cap.
+
+    Scale shape per round: one |E|-sized dart join + one map-side-combinable
+    integer SUM per vertex — identical to a PageRank superstep without the
+    dangling pass. Returns (id, katz) with katz in micro-units.
+    """
+    from pgs_spark.operators.edges import canonicalize
+
+    sym = symmetrize(canonicalize(undirected_edges)).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    verts = sym.select(F.col("u").alias("id")).distinct()
+    x = verts.select("id", F.lit(int(scale)).cast("long").alias("katz"))
+    for _ in range(rounds):
+        gathered = (
+            sym.join(x.select(F.col("id").alias("u"), "katz"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum("katz").alias("g"))
+        )
+        x = verts.join(gathered, "id", "left").select(
+            "id",
+            (
+                F.lit(int(scale))
+                + F.expr(
+                    f"(coalesce(g, 0L) * {int(alpha_num)}) DIV {int(alpha_den)}"
+                )
+            ).cast("long").alias("katz"),
+        )
+    return x

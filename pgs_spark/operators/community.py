@@ -306,3 +306,138 @@ def resource_allocation_links(
         F.col("a").alias("src"), F.col("b").alias("dst"),
         "common_neighbors", "ra_micro",
     )
+
+
+def louvain_local_move(
+    spark: SparkSession, edges: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """One level of Louvain community detection (Blondel et al. 2008): a
+    fixed number of SYNCHRONOUS local-move rounds with ALL-INTEGER
+    modularity gains.
+
+    Role: the modularity-OPTIMIZING sibling of label_propagation — the
+    reference's stochasticMerge family grows regions by local merging
+    (PGS_Meshing.java:693-725); Louvain's phase-1 is the principled version
+    of that move rule (each vertex joins the neighboring community with the
+    largest modularity gain). ``modularity_by_community`` scores a partition;
+    this operator improves one.
+
+    DETERMINISM: classic Louvain is sequential (vertices move one at a time,
+    visit order matters). The distributed variant here moves EVERY vertex
+    simultaneously each round (the standard Spark/Giraph "parallel Louvain"
+    relaxation) and resolves the argmax with pure integers: on an unweighted
+    graph the gain of moving v into community c is, up to the positive
+    constant 1/(2m²),
+
+        gain_scaled(v, c) = 2m·k_{v,c} − deg(v)·(tot(c) − [c = comm(v)]·deg(v))
+
+    where k_{v,c} = edges from v into c, tot(c) = Σ deg over c (own
+    community evaluated with v removed — the standard self-exclusion). All
+    terms are BIGINTs, so argmax-by-(gain DESC, comm ASC) replays exactly in
+    DuckDB (plans/oracle_sql.louvain_sql unrolls the identical program); no
+    float ever appears.
+
+    SWAP GUARD: fully synchronous moves suffer the classic oscillation —
+    two adjacent singleton vertices each move into the OTHER's community in
+    the same round, leaving both mis-labeled (modularity can go DOWN).
+    Grappolo's remedy (Lu, Halappanavar, Kalyanaraman 2015, Parallel
+    Computing 47): a singleton vertex may move into another SINGLETON
+    community only when the target community id is SMALLER than its own —
+    the smaller-id side stays put, so every 2-swap is broken
+    deterministically while clique collapse (many→one) is unaffected.
+
+    Scale shape per round: one |E|-sized join of labels onto the darts with
+    a map-side-combinable COUNT per (vertex, neighbor-community), one
+    |V|-sized degree-sum per community, one struct-min per vertex. No
+    all-pairs, no windows over the whole relation; the 1-row m joins by
+    crossJoin (broadcast scalar).
+
+    Returns (id, comm) after ``rounds`` synchronous rounds.
+    """
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_louvain_")
+    und = canonicalize(edges).persist()
+    sym = symmetrize(und)
+    deg = degrees(und).persist()
+    m = und.agg(F.count("*").alias("m"))
+    labels = deg.select("id", F.col("id").alias("comm"))
+    for r in range(rounds):
+        # each round reads the label table five times (tot, kvc, own,
+        # others, siz) — snapshot to parquet so the prior round computes
+        # once, not 5^r times, and the lineage stays one round deep (the
+        # stress/kcore state discipline)
+        labels = snapshot(labels, work_dir, f"labels_{r % 2}")
+        tot = (
+            labels.join(deg, "id")
+            .groupBy("comm")
+            .agg(F.sum("degree").alias("tot"))
+        )
+        kvc = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("comm")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"), "comm")
+            .agg(F.count("*").alias("kvc"))
+        )
+        own = (
+            labels.join(kvc, ["id", "comm"], "left")
+            .select(
+                "id",
+                "comm",
+                F.coalesce(F.col("kvc"), F.lit(0)).alias("kvc"),
+                F.col("comm").alias("own_comm"),
+            )
+        )
+        others = (
+            kvc.join(
+                labels.select("id", F.col("comm").alias("own_comm")), "id"
+            )
+            .filter(F.col("comm") != F.col("own_comm"))
+            .select("id", "comm", "kvc", "own_comm")
+        )
+        cand = own.unionByName(others)
+        siz = labels.groupBy("comm").agg(F.count("*").alias("csize"))
+        cand = (
+            cand.join(siz.withColumnRenamed("csize", "tgt_size"), "comm")
+            .join(
+                siz.select(
+                    F.col("comm").alias("own_comm"),
+                    F.col("csize").alias("own_size"),
+                ),
+                "own_comm",
+            )
+            .filter(
+                ~(
+                    (F.col("own_size") == 1)
+                    & (F.col("tgt_size") == 1)
+                    & (F.col("comm") > F.col("own_comm"))
+                )
+            )
+            .select("id", "comm", "kvc", "own_comm")
+        )
+        scored = (
+            cand.join(deg, "id")
+            .join(tot, "comm")
+            .crossJoin(m)  # 1-row scalar
+            .select(
+                "id",
+                "comm",
+                (
+                    F.lit(2) * F.col("m") * F.col("kvc")
+                    - F.col("degree")
+                    * (
+                        F.col("tot")
+                        - F.when(
+                            F.col("comm") == F.col("own_comm"), F.col("degree")
+                        ).otherwise(F.lit(0))
+                    )
+                ).alias("gain"),
+            )
+        )
+        labels = (
+            scored.groupBy("id")
+            .agg(F.min(F.struct((-F.col("gain")).alias("ng"), F.col("comm"))).alias("b"))
+            .select("id", F.col("b.comm").alias("comm"))
+        )
+    return labels

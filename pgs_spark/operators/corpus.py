@@ -554,3 +554,61 @@ def hll_distinct_tokens(
     return counts.join(out, "grp").select(
         F.col("grp").alias(group_col), "n_tokens", "distinct_est_r"
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    strata_col: str = "lang",
+    tau: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Temperature-scaled sampling weights for a multilingual/multi-domain
+    training mix: p_s ∝ n_s^τ (the exponentiated-count rule of mBERT /
+    XLM-R / mT5 — τ < 1 up-weights low-resource strata; τ=1 is proportional,
+    τ=0 uniform). The companion of ``stratified_sample``: that operator
+    APPLIES a share table, this one DERIVES the standard one.
+
+    DETERMINISM: n_s^τ at the default τ=0.5 is SQRT, which IEEE 754 requires
+    correctly rounded — so w_micro = CAST(ROUND(sqrt(n_s)·1e6) AS BIGINT) is
+    bit-identical in Spark and DuckDB, and the normalizing Σ w_micro is an
+    order-free integer sum (the ra_micro discipline). Other τ go through
+    pow(), which is NOT guaranteed correctly rounded — supported for real
+    pipelines, but the gate runs the exactly-replayable τ=0.5.
+
+    Returns (stratum, n_docs, w_micro, weight_r, boost_r): weight_r the
+    normalized sampling probability, boost_r = weight / (n_s/N) the over- /
+    under-sampling factor each stratum gets.
+
+    Scale shape: one map-side-combinable census groupBy + an |S|-row
+    normalization — the corpus is scanned once, everything after is
+    broadcast-sized.
+    """
+    cnt = docs.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count("*").alias("n_docs")
+    )
+    if abs(tau - 0.5) < 1e-15:
+        w = F.sqrt(F.col("n_docs").cast("double"))
+    else:
+        w = F.pow(F.col("n_docs").cast("double"), F.lit(float(tau)))
+    pw = cnt.select(
+        "stratum",
+        "n_docs",
+        F.round(w * F.lit(1000000.0), 0).cast("long").alias("w_micro"),
+    )
+    tot = pw.agg(
+        F.sum("w_micro").alias("w_total"), F.sum("n_docs").alias("n_total")
+    )
+    return pw.crossJoin(tot).select(
+        "stratum",
+        "n_docs",
+        "w_micro",
+        F.round(
+            F.col("w_micro").cast("double") / F.col("w_total").cast("double"),
+            round_to,
+        ).alias("weight_r"),
+        F.round(
+            (F.col("w_micro").cast("double") / F.col("w_total").cast("double"))
+            / (F.col("n_docs").cast("double") / F.col("n_total").cast("double")),
+            round_to,
+        ).alias("boost_r"),
+    )

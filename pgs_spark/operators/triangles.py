@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pgs_spark.operators.edges import canonicalize, degrees
+from pgs_spark.operators.edges import canonicalize, degrees, symmetrize
 
 
 def _oriented(und: DataFrame) -> DataFrame:
@@ -84,3 +84,57 @@ def triangle_counts_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFra
         .union(tri.select(F.col("z").alias("id")))
     )
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
+
+
+def rectangle_count(
+    spark: SparkSession, edges: DataFrame, max_center_degree: int | None = None
+) -> DataFrame:
+    """Global 4-cycle (rectangle) count — the quadrilateral sibling of
+    triangle_count.
+
+    Role: the reference's quad-mesh family (PGS_Meshing's quadrangulation
+    consumers) counts quadrilateral faces from planarity; a general graph
+    gets the count from the WEDGE-PAIR identity: for each unordered
+    non-center pair {u, w}, let p = |N(u) ∩ N(w)| (the number of wedges
+    u–z–w). Every 4-cycle u–z1–w–z2 contributes C(2,2)=1 to C(p,2) at its
+    diagonal pair {u, w} and once more at the other diagonal {z1, z2}, so
+    n_rectangles = Σ_{u<w} C(p,2) / 2 — pure integers end to end (the sum
+    is provably even), no enumeration of the cycles themselves.
+
+    Plan: one self-join of the symmetrized edge table on the wedge center
+    (the same Σ deg² fan-out as the triangle wedge join) collapsed
+    immediately by a map-side-combinable COUNT per (u, w) — the cycle count
+    never materializes quadruples. ``max_center_degree`` optionally drops
+    wedges centered on hubs (the standard power-law cap — DISCLOSED via the
+    argument, never silent; None = exact, and the gate runs exact).
+
+    Returns one row: (n_rectangles, n_closed_pairs) where n_closed_pairs is
+    the number of distance-≤2 pairs with ≥2 common neighbors (the pairs that
+    close at least one rectangle).
+    """
+    und = canonicalize(edges)
+    sym = symmetrize(und)
+    if max_center_degree is not None:
+        deg = degrees(und)
+        ok = deg.filter(F.col("degree") <= max_center_degree).select(
+            F.col("id").alias("src")
+        )
+        sym = sym.join(ok, "src", "left_semi")
+    s1 = sym.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    s2 = sym.select(F.col("src").alias("z"), F.col("dst").alias("w"))
+    pairs = (
+        s1.join(s2, "z")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("p"))
+    )
+    agg = pairs.agg(
+        F.coalesce(F.sum(F.expr("(p * (p - 1)) DIV 2")), F.lit(0)).alias("cp2"),
+        F.coalesce(
+            F.sum(F.when(F.col("p") >= 2, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias("n_closed_pairs"),
+    )
+    return agg.select(
+        F.expr("cp2 DIV 2").cast("long").alias("n_rectangles"),
+        F.col("n_closed_pairs").cast("long"),
+    )

@@ -731,3 +731,128 @@ def stress_sql(edges_sql: str, seed_mod: int, max_depth: int = 3) -> str:
         + "\nSELECT id, CAST(SUM(c) AS BIGINT) AS stress "
         + "FROM contrib GROUP BY id HAVING SUM(c) > 0"
     )
+
+
+def rectangles_sql(edges_sql: str) -> str:
+    """Oracle for operators/triangles.rectangle_count: wedge-pair identity
+    n_rectangles = Σ_{u<w} C(|N(u)∩N(w)|, 2) / 2 — pure integers (each term
+    p(p−1)/2 is exact, the total is provably even)."""
+    return f"""
+        WITH e AS MATERIALIZED ({edges_sql}),
+        s AS MATERIALIZED ({sym_cte('e')}),
+        p AS (
+            SELECT a.v AS u, b.v AS w, COUNT(*) AS p
+            FROM s a JOIN s b ON a.u = b.u AND a.v < b.v
+            GROUP BY a.v, b.v)
+        SELECT CAST(COALESCE(SUM((p * (p - 1)) // 2), 0) // 2 AS BIGINT) AS n_rectangles,
+               CAST(COALESCE(SUM(CASE WHEN p >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_closed_pairs
+        FROM p
+    """
+
+
+def louvain_sql(edges_sql: str, rounds: int = 2) -> str:
+    """Unrolled oracle for operators/community.louvain_local_move: per round
+    the community degree totals, the per-(vertex, neighbor-community) edge
+    counts, the all-integer gain 2m·k_vc − deg·(tot − [own]·deg), the
+    Grappolo singleton-swap guard, and the (gain DESC, comm ASC) argmax —
+    the identical synchronous program."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"s AS MATERIALIZED ({sym_cte('e')})",
+        "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS degree FROM s GROUP BY u)",
+        "mm AS (SELECT COUNT(*) AS m FROM e)",
+        "l0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)",
+    ]
+    for r in range(rounds):
+        n = r + 1
+        parts += [
+            f"tot{r} AS MATERIALIZED (SELECT l.comm, SUM(d.degree) AS tot "
+            f"FROM l{r} l JOIN deg d ON l.id = d.id GROUP BY l.comm)",
+            f"kvc{r} AS MATERIALIZED (SELECT s.u AS id, l.comm, COUNT(*) AS kvc "
+            f"FROM s JOIN l{r} l ON s.v = l.id GROUP BY s.u, l.comm)",
+            f"siz{r} AS MATERIALIZED (SELECT comm, COUNT(*) AS csize "
+            f"FROM l{r} GROUP BY comm)",
+            f"cand{r} AS MATERIALIZED ("
+            f"SELECT l.id, l.comm, COALESCE(k.kvc, 0) AS kvc, l.comm AS own_comm "
+            f"FROM l{r} l LEFT JOIN kvc{r} k ON l.id = k.id AND l.comm = k.comm "
+            f"UNION ALL "
+            f"SELECT k.id, k.comm, k.kvc, l.comm FROM kvc{r} k "
+            f"JOIN l{r} l ON k.id = l.id WHERE k.comm <> l.comm)",
+            f"sc{r} AS MATERIALIZED (SELECT c.id, c.comm, "
+            f"2 * (SELECT m FROM mm) * c.kvc - d.degree * "
+            f"(t.tot - CASE WHEN c.comm = c.own_comm THEN d.degree ELSE 0 END) AS gain "
+            f"FROM cand{r} c JOIN deg d ON c.id = d.id "
+            f"JOIN tot{r} t ON c.comm = t.comm "
+            f"JOIN siz{r} st ON c.comm = st.comm "
+            f"JOIN siz{r} so ON c.own_comm = so.comm "
+            f"WHERE NOT (so.csize = 1 AND st.csize = 1 AND c.comm > c.own_comm))",
+            f"l{n} AS MATERIALIZED (SELECT id, comm FROM ("
+            f"SELECT id, comm, ROW_NUMBER() OVER "
+            f"(PARTITION BY id ORDER BY gain DESC, comm ASC) AS rn FROM sc{r}"
+            f") WHERE rn = 1)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, CAST(comm AS BIGINT) AS comm FROM l{rounds}"
+    )
+
+
+def katz_sql(
+    edges_sql: str,
+    rounds: int = 4,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    scale: int = 1_000_000,
+) -> str:
+    """Unrolled oracle for operators/centrality.katz_centrality:
+    x' = scale + (Σ_N x · alpha_num) // alpha_den, all BIGINT."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS src, "
+        "GREATEST(src, dst) AS dst FROM eraw WHERE src <> dst)",
+        f"s AS MATERIALIZED ({sym_cte('e0')})",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM s)",
+        f"x0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS katz FROM verts)",
+    ]
+    for r in range(rounds):
+        n = r + 1
+        parts += [
+            f"g{n} AS MATERIALIZED (SELECT s.v AS id, "
+            f"CAST(SUM(x.katz) AS BIGINT) AS g "
+            f"FROM s JOIN x{r} x ON s.u = x.id GROUP BY s.v)",
+            f"x{n} AS MATERIALIZED (SELECT v.id, "
+            f"CAST({scale} + (COALESCE(g.g, 0) * {alpha_num}) // {alpha_den} "
+            f"AS BIGINT) AS katz "
+            f"FROM verts v LEFT JOIN g{n} g ON v.id = g.id)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, katz FROM x{rounds}"
+    )
+
+
+def mean_agg_sql(edges_sql: str, rounds: int = 2, scale: int = 1_000_000) -> str:
+    """Unrolled oracle for operators/features.mean_aggregate_features:
+    x0 = deg·scale, x' = (Σ_N x) // deg — all BIGINT."""
+    parts = [
+        f"e AS MATERIALIZED ({edges_sql})",
+        f"s AS MATERIALIZED ({sym_cte('e')})",
+        "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS degree FROM s GROUP BY u)",
+        f"x0 AS MATERIALIZED (SELECT id, degree, "
+        f"CAST(degree * {scale} AS BIGINT) AS feat FROM deg)",
+    ]
+    for r in range(rounds):
+        n = r + 1
+        parts += [
+            f"g{n} AS MATERIALIZED (SELECT s.v AS id, "
+            f"CAST(SUM(x.feat) AS BIGINT) AS g "
+            f"FROM s JOIN x{r} x ON s.u = x.id GROUP BY s.v)",
+            f"x{n} AS MATERIALIZED (SELECT d.id, d.degree, "
+            f"CAST(g.g // d.degree AS BIGINT) AS feat "
+            f"FROM deg d JOIN g{n} g ON d.id = g.id)",
+        ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id, degree, feat FROM x{rounds}"
+    )

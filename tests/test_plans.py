@@ -156,3 +156,23 @@ def test_round5b_operators_have_no_cartesian_on_data(spark):
         # "BroadcastNestedLoopJoin Cross" matches only the tree line
         n_nl = plan.count("BroadcastNestedLoopJoin Cross")
         assert n_nl <= n_scalar_max, (q.__name__, n_nl, plan[:500])
+
+
+def test_round5c_operators_have_no_cartesian_on_data(spark):
+    """rectangles / louvain / katz / mean_aggregate / mix_temperature: same
+    discipline as the round-5b check — no CartesianProduct over data-sized
+    relations; BroadcastNestedLoopJoin only as 1-row scalar attaches."""
+    import __spark_entry__ as entry
+    from pgs_spark.plans.explain import plan_string
+
+    for q, n_scalar_max in (
+        (entry.q_rectangles, 0),  # pure equi-joins
+        (entry.q_louvain, 2),  # m (1-row) attached once per round
+        (entry.q_katz, 0),  # pure equi-joins
+        (entry.q_mean_aggregate, 0),  # pure equi-joins
+        (entry.q_mix_temperature, 1),  # w_total/n_total (1-row)
+    ):
+        plan = plan_string(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        n_nl = plan.count("BroadcastNestedLoopJoin Cross")
+        assert n_nl <= n_scalar_max, (q.__name__, n_nl, plan[:500])
