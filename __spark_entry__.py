@@ -1564,6 +1564,19 @@ def q_mean_aggregate(spark, sf_dir):
     )
 
 
+def q_louvain_weighted(spark, sf_dir):
+    """Weighted parallel Louvain phase-1 on the co-occurrence-weighted graph
+    (the reference's setEdgeWeight family): m → Σw, degree → strength,
+    k_vc → Σw into c — integer weights keep the gains exact. Oracle:
+    osql.louvain_sql(weighted=True)."""
+    from pgs_spark.operators.community import louvain_local_move
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE)
+    return louvain_local_move(
+        spark, we, rounds=LOUVAIN_ROUNDS, weight_col="weight"
+    )
+
+
 def q_mix_temperature(spark, sf_dir):
     """Temperature-scaled sampling weights (operators/corpus.
     temperature_mix_weights): p_lang ∝ n^τ at τ=MIX_TAU (the mBERT/XLM-R
@@ -1694,6 +1707,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stress_centrality": q_stress,
         "rectangles": q_rectangles,
         "louvain": q_louvain,
+        "louvain_weighted": q_louvain_weighted,
         "katz": q_katz,
         "mean_aggregate": q_mean_aggregate,
         "mix_temperature": q_mix_temperature,
@@ -1979,6 +1993,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rectangles": osql.rectangles_sql(dense),
         "louvain": osql.louvain_sql(dense, rounds=LOUVAIN_ROUNDS),
+        "louvain_weighted": osql.louvain_sql(
+            dense_w, rounds=LOUVAIN_ROUNDS, weighted=True
+        ),
         "katz": osql.katz_sql(dense, rounds=KATZ_ROUNDS),
         "mean_aggregate": osql.mean_agg_sql(dense, rounds=MEANAGG_ROUNDS),
         "mix_temperature": """

@@ -309,7 +309,10 @@ def resource_allocation_links(
 
 
 def louvain_local_move(
-    spark: SparkSession, edges: DataFrame, rounds: int = 2
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """One level of Louvain community detection (Blondel et al. 2008): a
     fixed number of SYNCHRONOUS local-move rounds with ALL-INTEGER
@@ -352,15 +355,35 @@ def louvain_local_move(
     all-pairs, no windows over the whole relation; the 1-row m joins by
     crossJoin (broadcast scalar).
 
+    With ``weight_col`` (the reference's weighted graphs —
+    PGS_Conversion.setEdgeWeight, PGS_Conversion.java:933; here integer
+    co-occurrence counts) the caller passes an already-canonical weighted
+    edge table and every quantity becomes its weighted form: m = Σw,
+    degree = vertex strength Σw, k_{v,c} = Σw into c — Newman's weighted
+    modularity gain. Weights are integers, so the arithmetic stays exact.
+
     Returns (id, comm) after ``rounds`` synchronous rounds.
     """
     from pgs_spark.operators.state import make_work_dir, snapshot
 
     work_dir = make_work_dir("pgs_louvain_")
-    und = canonicalize(edges).persist()
-    sym = symmetrize(und)
-    deg = degrees(und).persist()
-    m = und.agg(F.count("*").alias("m"))
+    if weight_col is None:
+        und = canonicalize(edges).select(
+            "src", "dst", F.lit(1).cast("long").alias("w")
+        ).persist()
+    else:
+        und = edges.select(
+            "src", "dst", F.col(weight_col).cast("long").alias("w")
+        ).persist()
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    deg = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("w").alias("degree"))
+        .persist()
+    )
+    m = und.agg(F.sum("w").alias("m"))
     labels = deg.select("id", F.col("id").alias("comm"))
     for r in range(rounds):
         # each round reads the label table five times (tot, kvc, own,
@@ -378,7 +401,7 @@ def louvain_local_move(
                 labels.select(F.col("id").alias("dst"), F.col("comm")), "dst"
             )
             .groupBy(F.col("src").alias("id"), "comm")
-            .agg(F.count("*").alias("kvc"))
+            .agg(F.sum("w").alias("kvc"))
         )
         own = (
             labels.join(kvc, ["id", "comm"], "left")

@@ -751,17 +751,32 @@ def rectangles_sql(edges_sql: str) -> str:
     """
 
 
-def louvain_sql(edges_sql: str, rounds: int = 2) -> str:
+def louvain_sql(edges_sql: str, rounds: int = 2, weighted: bool = False) -> str:
     """Unrolled oracle for operators/community.louvain_local_move: per round
     the community degree totals, the per-(vertex, neighbor-community) edge
     counts, the all-integer gain 2m·k_vc − deg·(tot − [own]·deg), the
     Grappolo singleton-swap guard, and the (gain DESC, comm ASC) argmax —
-    the identical synchronous program."""
+    the identical synchronous program. With ``weighted`` the edges CTE must
+    yield (src, dst, weight) and every count becomes an integer weight sum
+    (m = Σw, degree = strength, k_vc = Σw into c)."""
+    if weighted:
+        sym = (
+            "SELECT src AS u, dst AS v, weight AS w FROM e "
+            "UNION ALL SELECT dst, src, weight FROM e"
+        )
+        deg = "SELECT u AS id, SUM(w) AS degree FROM s GROUP BY u"
+        mm = "SELECT SUM(weight) AS m FROM e"
+        kagg = "SUM(s.w)"
+    else:
+        sym = sym_cte("e")
+        deg = "SELECT u AS id, COUNT(*) AS degree FROM s GROUP BY u"
+        mm = "SELECT COUNT(*) AS m FROM e"
+        kagg = "COUNT(*)"
     parts = [
         f"e AS MATERIALIZED ({edges_sql})",
-        f"s AS MATERIALIZED ({sym_cte('e')})",
-        "deg AS MATERIALIZED (SELECT u AS id, COUNT(*) AS degree FROM s GROUP BY u)",
-        "mm AS (SELECT COUNT(*) AS m FROM e)",
+        f"s AS MATERIALIZED ({sym})",
+        f"deg AS MATERIALIZED ({deg})",
+        f"mm AS ({mm})",
         "l0 AS MATERIALIZED (SELECT id, id AS comm FROM deg)",
     ]
     for r in range(rounds):
@@ -769,7 +784,7 @@ def louvain_sql(edges_sql: str, rounds: int = 2) -> str:
         parts += [
             f"tot{r} AS MATERIALIZED (SELECT l.comm, SUM(d.degree) AS tot "
             f"FROM l{r} l JOIN deg d ON l.id = d.id GROUP BY l.comm)",
-            f"kvc{r} AS MATERIALIZED (SELECT s.u AS id, l.comm, COUNT(*) AS kvc "
+            f"kvc{r} AS MATERIALIZED (SELECT s.u AS id, l.comm, {kagg} AS kvc "
             f"FROM s JOIN l{r} l ON s.v = l.id GROUP BY s.u, l.comm)",
             f"siz{r} AS MATERIALIZED (SELECT comm, COUNT(*) AS csize "
             f"FROM l{r} GROUP BY comm)",

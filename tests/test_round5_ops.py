@@ -191,3 +191,38 @@ def test_mix_temperature_weights(spark):
     assert rows["sw"]["boost_r"] > 1.0 > rows["en"]["boost_r"]
     # mass ordering still respects counts
     assert rows["en"]["weight_r"] > rows["fr"]["weight_r"] > rows["sw"]["weight_r"]
+
+
+def test_louvain_weighted_follows_heavy_edges(spark):
+    """Path 0-1-2-3 where edge (0,1) carries almost all the weight: the
+    weighted gains must bind 0 and 1 into one community; unweighted rounds
+    see an undifferentiated path."""
+    we = spark.createDataFrame(
+        [(0, 1, 100), (1, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    labels = {
+        r["id"]: r["comm"]
+        for r in louvain_local_move(
+            spark, we, rounds=2, weight_col="weight"
+        ).collect()
+    }
+    assert labels[0] == labels[1]
+    assert labels[3] != labels[0]
+
+
+def test_louvain_weighted_unit_weights_match_unweighted(spark):
+    """weight=1 everywhere must reproduce the unweighted program exactly."""
+    pairs = random_graph(30, 0.12, seed=990)
+    e = edges_df(spark, pairs)
+    we = e.selectExpr("src", "dst", "CAST(1 AS LONG) AS weight")
+    a = sorted(
+        (r["id"], r["comm"])
+        for r in louvain_local_move(spark, e, rounds=2).collect()
+    )
+    b = sorted(
+        (r["id"], r["comm"])
+        for r in louvain_local_move(
+            spark, we, rounds=2, weight_col="weight"
+        ).collect()
+    )
+    assert a == b
