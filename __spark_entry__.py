@@ -1577,6 +1577,19 @@ def q_louvain_weighted(spark, sf_dir):
     )
 
 
+def q_louvain_two_level(spark, sf_dir):
+    """Full two-level Louvain (operators/community.louvain_two_level):
+    phase-1 local moves → community contraction (integer multiplicity
+    weights, the merge_to_k shape) → WEIGHTED phase-1 on the coarse graph →
+    map-back. Oracle: osql.louvain_two_level_sql composes the same three
+    stages."""
+    from pgs_spark.operators.community import louvain_two_level
+
+    return louvain_two_level(
+        spark, _dense(spark, sf_dir), rounds=LOUVAIN_ROUNDS, rounds2=LOUVAIN_ROUNDS
+    )
+
+
 def q_mix_temperature(spark, sf_dir):
     """Temperature-scaled sampling weights (operators/corpus.
     temperature_mix_weights): p_lang ∝ n^τ at τ=MIX_TAU (the mBERT/XLM-R
@@ -1708,6 +1721,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rectangles": q_rectangles,
         "louvain": q_louvain,
         "louvain_weighted": q_louvain_weighted,
+        "louvain_two_level": q_louvain_two_level,
         "katz": q_katz,
         "mean_aggregate": q_mean_aggregate,
         "mix_temperature": q_mix_temperature,
@@ -1995,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
         "louvain": osql.louvain_sql(dense, rounds=LOUVAIN_ROUNDS),
         "louvain_weighted": osql.louvain_sql(
             dense_w, rounds=LOUVAIN_ROUNDS, weighted=True
+        ),
+        "louvain_two_level": osql.louvain_two_level_sql(
+            dense, rounds=LOUVAIN_ROUNDS, rounds2=LOUVAIN_ROUNDS
         ),
         "katz": osql.katz_sql(dense, rounds=KATZ_ROUNDS),
         "mean_aggregate": osql.mean_agg_sql(dense, rounds=MEANAGG_ROUNDS),

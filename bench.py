@@ -392,7 +392,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     # feature smoothing (each round = one dart join + one integer SUM — the
     # PageRank superstep shape without the dangling pass).
     from pgs_spark.operators.centrality import katz_centrality
-    from pgs_spark.operators.community import louvain_local_move
+    from pgs_spark.operators.community import louvain_local_move, louvain_two_level
     from pgs_spark.operators.features import mean_aggregate_features
     from pgs_spark.operators.triangles import rectangle_count
 
@@ -406,6 +406,10 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     timed(
         "louvain_2r",
         lambda: louvain_local_move(spark, cop, rounds=2).count(),
+    )
+    timed(
+        "louvain_two_level",
+        lambda: louvain_two_level(spark, cop, rounds=2, rounds2=2).count(),
     )
     timed(
         "katz_4r",

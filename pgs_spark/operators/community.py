@@ -464,3 +464,59 @@ def louvain_local_move(
             .select("id", F.col("b.comm").alias("comm"))
         )
     return labels
+
+
+def louvain_two_level(
+    spark: SparkSession, edges: DataFrame, rounds: int = 2, rounds2: int = 2
+) -> DataFrame:
+    """Full two-level Louvain (Blondel et al. 2008, phases 1+2): run the
+    local-move phase, CONTRACT each community to a super-vertex (phase 2 —
+    parallel edges collapse into integer weights, the AreaMerge/merge_to_k
+    contraction shape), then run the WEIGHTED local-move phase on the coarse
+    graph and map the coarse communities back to the original vertices.
+
+    This is the composition the classic algorithm iterates to a fixed point;
+    two levels is the standard fixed-budget cut (the coarse graph after one
+    contraction is typically orders of magnitude smaller, so level 2 is
+    cheap). Everything stays integer: level-1 gains are unweighted counts,
+    contracted edge weights are multiplicities, level-2 gains are weighted
+    sums of those integers — the DuckDB oracle
+    (plans/oracle_sql.louvain_two_level_sql) replays the whole pipeline.
+
+    Scale shape: level 1 as louvain_local_move; the contraction is two
+    |E|-sized label joins + one map-side-combinable SUM; level 2 runs on the
+    |communities|-sized graph. Isolated communities (no cross edges) do not
+    appear in the coarse graph and keep their level-1 label (COALESCE on the
+    final map-back join).
+
+    Returns (id, comm) — comm the level-2 community of each ORIGINAL vertex.
+    """
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_louvain2_")
+    und = canonicalize(edges).persist()
+    # snapshot each stage boundary: l1 feeds three consumers (two contraction
+    # sides + the map-back) and l2's lineage would otherwise nest the whole
+    # level-1 program once per reference
+    l1 = snapshot(louvain_local_move(spark, und, rounds=rounds), work_dir, "l1")
+    la = l1.select(F.col("id").alias("src"), F.col("comm").alias("ca"))
+    lb = l1.select(F.col("id").alias("dst"), F.col("comm").alias("cb"))
+    coarse = (
+        und.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("src"),
+            F.greatest("ca", "cb").alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    coarse = snapshot(coarse, work_dir, "coarse")
+    l2 = louvain_local_move(
+        spark, coarse, rounds=rounds2, weight_col="weight"
+    ).select(F.col("id").alias("comm"), F.col("comm").alias("comm2"))
+    return (
+        l1.join(l2, "comm", "left")
+        .select("id", F.coalesce(F.col("comm2"), F.col("comm")).alias("comm"))
+    )

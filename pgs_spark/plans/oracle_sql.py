@@ -871,3 +871,33 @@ def mean_agg_sql(edges_sql: str, rounds: int = 2, scale: int = 1_000_000) -> str
         "WITH " + ",\n".join(parts)
         + f"\nSELECT id, degree, feat FROM x{rounds}"
     )
+
+
+def louvain_two_level_sql(
+    edges_sql: str, rounds: int = 2, rounds2: int = 2
+) -> str:
+    """Oracle for operators/community.louvain_two_level: the level-1
+    louvain_sql program as a nested subquery, the community contraction
+    (LEAST/GREATEST + COUNT(*) multiplicity weights), the weighted
+    louvain_sql program on the coarse graph, and the COALESCE map-back for
+    isolated communities — the identical pipeline."""
+    lvl1 = louvain_sql(edges_sql, rounds=rounds)
+    lvl2 = louvain_sql(
+        "SELECT src, dst, weight FROM coarse", rounds=rounds2, weighted=True
+    )
+    return f"""
+        WITH lvl1 AS MATERIALIZED (SELECT * FROM ({lvl1})),
+        eorig AS MATERIALIZED ({edges_sql}),
+        coarse AS MATERIALIZED (
+            SELECT LEAST(a.comm, b.comm) AS src,
+                   GREATEST(a.comm, b.comm) AS dst,
+                   COUNT(*) AS weight
+            FROM eorig e
+            JOIN lvl1 a ON e.src = a.id
+            JOIN lvl1 b ON e.dst = b.id
+            WHERE a.comm <> b.comm
+            GROUP BY LEAST(a.comm, b.comm), GREATEST(a.comm, b.comm)),
+        lvl2 AS MATERIALIZED (SELECT * FROM ({lvl2}))
+        SELECT l1.id, CAST(COALESCE(l2.comm, l1.comm) AS BIGINT) AS comm
+        FROM lvl1 l1 LEFT JOIN lvl2 l2 ON l1.comm = l2.id
+    """

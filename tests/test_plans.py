@@ -169,6 +169,7 @@ def test_round5c_operators_have_no_cartesian_on_data(spark):
         (entry.q_rectangles, 0),  # pure equi-joins
         (entry.q_louvain, 2),  # m (1-row) attached once per round
         (entry.q_louvain_weighted, 2),  # same shape, weighted sums
+        (entry.q_louvain_two_level, 4),  # m (1-row) per round per level
         (entry.q_katz, 0),  # pure equi-joins
         (entry.q_mean_aggregate, 0),  # pure equi-joins
         (entry.q_mix_temperature, 1),  # w_total/n_total (1-row)

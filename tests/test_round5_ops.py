@@ -226,3 +226,62 @@ def test_louvain_weighted_unit_weights_match_unweighted(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_louvain_two_level_disconnected_keeps_level1(spark):
+    """Two disjoint cliques: the coarse graph has NO cross-community edges,
+    so level 2 is empty and the COALESCE map-back must return the level-1
+    partition unchanged."""
+    from pgs_spark.operators.community import louvain_two_level
+
+    l1 = {
+        r["id"]: r["comm"]
+        for r in louvain_local_move(
+            spark, edges_df(spark, TWO_CLIQUES), rounds=2
+        ).collect()
+    }
+    l2 = {
+        r["id"]: r["comm"]
+        for r in louvain_two_level(
+            spark, edges_df(spark, TWO_CLIQUES), rounds=2, rounds2=2
+        ).collect()
+    }
+    assert l1 == l2
+
+
+def test_louvain_two_level_merges_clique_chain(spark):
+    """Four 4-cliques in a sparse ring (one bridge edge between consecutive
+    cliques): level 1 collapses each clique; level 2 can merge bridged
+    cliques but must never split one, and modularity must not regress."""
+    from pgs_spark.operators.community import louvain_two_level
+
+    cliques = []
+    for c in range(4):
+        base = 10 * c
+        cliques.append([(base + a, base + b) for a in range(4) for b in range(a + 1, 4)])
+    bridges = [(3, 10), (13, 20), (23, 30), (33, 0)]
+    pairs = [e for cl in cliques for e in cl] + bridges
+    e = edges_df(spark, pairs)
+    g = nx.Graph(pairs)
+    two = {
+        r["id"]: r["comm"]
+        for r in louvain_two_level(spark, e, rounds=2, rounds2=2).collect()
+    }
+    # no clique is split across communities
+    for c in range(4):
+        assert len({two[10 * c + a] for a in range(4)}) == 1
+    # modularity of the final partition beats singleton and level-1-degraded
+    part = {}
+    for v, cm in two.items():
+        part.setdefault(cm, set()).add(v)
+    q2 = nx.algorithms.community.modularity(g, list(part.values()))
+    one = {
+        r["id"]: r["comm"]
+        for r in louvain_local_move(spark, e, rounds=2).collect()
+    }
+    p1 = {}
+    for v, cm in one.items():
+        p1.setdefault(cm, set()).add(v)
+    q1 = nx.algorithms.community.modularity(g, list(p1.values()))
+    assert q2 >= q1 - 1e-9
+    assert q2 > 0.5  # strong planted structure must be found
