@@ -91,6 +91,33 @@ def cmd_lpa(args) -> None:
     print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
 
 
+def cmd_louvain(args) -> None:
+    """Community detection: two-level Louvain (local moves → contraction →
+    weighted coarse pass) or a single weighted/unweighted phase-1 run."""
+    from pgs_spark.operators.community import (
+        louvain_local_move,
+        louvain_two_level,
+    )
+    from pgs_spark.operators.edges import canonicalize
+
+    spark = _spark("pgs-louvain")
+    edges = spark.read.parquet(args.edges)
+    if args.two_level:
+        out = louvain_two_level(
+            spark, edges, rounds=args.rounds, rounds2=args.rounds
+        )
+    else:
+        out = louvain_local_move(
+            spark,
+            edges if args.weight_col else canonicalize(edges),
+            rounds=args.rounds,
+            weight_col=args.weight_col,
+        )
+    out.write.mode("overwrite").parquet(args.out)
+    n = spark.read.parquet(args.out).select("comm").distinct().count()
+    print(json.dumps({"n_communities": n, "rounds": args.rounds}))
+
+
 def cmd_coloring(args) -> None:
     from pgs_spark.operators.coloring import conflict_count, jones_plassmann
     from pgs_spark.operators.edges import canonicalize
@@ -209,6 +236,14 @@ def build_parser() -> argparse.ArgumentParser:
     tr = sub.add_parser("triangles")
     tr.add_argument("--edges", required=True)
     tr.set_defaults(fn=cmd_triangles)
+
+    lv = sub.add_parser("louvain", help="Louvain community detection")
+    lv.add_argument("--edges", required=True)
+    lv.add_argument("--out", required=True)
+    lv.add_argument("--rounds", type=int, default=2)
+    lv.add_argument("--two-level", action="store_true")
+    lv.add_argument("--weight-col", default=None)
+    lv.set_defaults(fn=cmd_louvain)
 
     co = sub.add_parser("coloring", help="Jones-Plassmann proper coloring")
     co.add_argument("--edges", required=True)
