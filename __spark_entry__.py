@@ -846,6 +846,56 @@ def q_pii_scrub(spark, sf_dir):
     )
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rules document filter (Rae et al. 2021 A1.1 — the quality
+    battery most open corpora copied): word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction, distinct-stopword floor, graded per
+    doc with a pass verdict (operators/corpus.gopher_rules). Pure per-row
+    column exprs — one codegen map pass, no shuffle. Oracle:
+    plans/docs_sql.gopher_rules_sql."""
+    from pgs_spark.operators.corpus import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2019 §2.2): keep lines ending
+    in terminal punctuation with >= 5 words and no brace/'javascript'; doc
+    passes with >= 3 kept lines (operators/corpus.c4_line_stats). The
+    synthetic corpus is single-line, so the query plants deterministic
+    multi-line structure first (docs_sql.c4_augmented_text_sql — the
+    pii_scrub augmentation discipline). All-string predicates + integer
+    counts, one codegen map pass. Oracle: plans/docs_sql.c4_line_stats_sql."""
+    from pgs_spark.operators.corpus import c4_line_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nthis planted line has plenty of words and ends well "),
+            (did % 7).cast("string"),
+            F.lit("."),
+            F.lit("\ntiny line."),
+            F.lit("\nthis { braced line would otherwise be kept just fine."),
+            F.lit("\nthis javascript line would otherwise be kept just fine."),
+            F.lit("\nanother planted sentence with enough words number "),
+            (did % 5).cast("string"),
+            F.lit("!"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit("\na third good line appears sometimes for doc "),
+                    did.cast("string"),
+                    F.lit("?"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return c4_line_stats(aug, text_col="t")
+
+
 def q_stream_dedup(spark, sf_dir):
     """STREAMING exact dedup: readStream → sha256 content hash → stateful
     min-doc_id-per-hash aggregation → availableNow drain. min() is
@@ -1503,6 +1553,17 @@ def q_ra_links(spark, sf_dir):
     return resource_allocation_links(spark, e, min_common=LP_MIN_CN)
 
 
+def q_edge_jaccard(spark, sf_dir):
+    """Structural Jaccard of every existing edge (operators/community.
+    edge_jaccard) — the SCAN / similarity-sparsification primitive (Xu et
+    al. 2007): cn per edge via the triangle-support wedge join, union size
+    deg_src + deg_dst − cn, cn = 0 edges included. Exact path at gate scale
+    (no hub cap). Oracle: osql.edge_jaccard_sql."""
+    from pgs_spark.operators.community import edge_jaccard
+
+    return edge_jaccard(spark, _dense(spark, sf_dir))
+
+
 def q_stress(spark, sf_dir):
     """Stress centrality from the id % STRESS_MOD == 0 seed slice within
     STRESS_DEPTH hops — Brandes' two-phase shape with all-integer path
@@ -1752,6 +1813,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "hll_tokens": q_hll_tokens,
         "score": q_score,
+        "gopher_quality": q_gopher_quality,
+        "c4_line_filter": q_c4_line_filter,
+        "edge_jaccard": q_edge_jaccard,
     }
 
 
@@ -2106,6 +2170,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel": dsql.funnel_sql(),
         "score": osql.score_peel_sql(dense_w, s=SCORE_S, rounds=SCORE_ROUNDS),
         "hll_tokens": dsql.hll_distinct_tokens_sql(),
+        "gopher_quality": dsql.gopher_rules_sql(),
+        "c4_line_filter": dsql.c4_line_stats_sql(),
+        "edge_jaccard": osql.edge_jaccard_sql(dense),
         "cms_counts": dsql.cms_token_counts_sql(
             depth=CMS_DEPTH, width=CMS_WIDTH, top_k=CMS_TOPK
         ),

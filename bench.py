@@ -403,6 +403,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "rectangles",
         lambda: rectangle_count(spark, cop_sparse).count(),
     )
+    # per-edge structural Jaccard (SCAN sparsification weight): the same
+    # unoriented wedge fan-out, semi-joined back onto the edge set.
+    from pgs_spark.operators.community import edge_jaccard
+
+    timed(
+        "edge_jaccard",
+        lambda: edge_jaccard(spark, cop_sparse).count(),
+    )
     timed(
         "louvain_2r",
         lambda: louvain_local_move(spark, cop, rounds=2).count(),
@@ -493,6 +501,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 
     timed("lm_score", lambda: lm_score(docs).count())
     timed("ngram_novelty", lambda: ngram_novelty(docs).count())
+
+    # rule-battery filters (round 5c): Gopher document rules + C4 line
+    # cleaning — pure per-row codegen map passes, the cheapest ops in the
+    # pipeline by design (their 100-TB cost is one corpus scan each).
+    from pgs_spark.operators.corpus import c4_line_stats, gopher_rules
+
+    timed("gopher_rules", lambda: gopher_rules(docs).count())
+    timed("c4_line_stats", lambda: c4_line_stats(docs).count())
 
     # sequence packing + decontamination (round 5): the two remaining
     # training-pipeline stages — an all-integer sharded window program and

@@ -612,3 +612,129 @@ def temperature_mix_weights(
             round_to,
         ).alias("boost_r"),
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, A1.1 — the
+    filter battery most open corpora since have copied): per doc, the rule
+    inputs plus a pass/fail verdict. Returns (doc_id, n_words, mean_wlen_r,
+    alpha_word_frac_r, n_stop_distinct, n_rules_failed, passes).
+
+    Rules graded (published thresholds, parameterized): word count in
+    [min_words, max_words]; mean word length in [min_mean_wlen,
+    max_mean_wlen]; fraction of words containing an alphabetic character
+    >= min_alpha_frac; at least min_stop_distinct DISTINCT marker stopwords
+    present (the Gopher "contains 2 of 8 stop words" rule, over the same
+    marker list the quality_score signal uses).
+
+    DETERMINISM: every input is an exact integer (token count, summed token
+    lengths, filtered counts, distinct-intersection size); the two ratios
+    are single divisions of exact integers rounded to 6dp — cross-engine
+    exact. Comparisons against the thresholds happen on the ROUNDED values
+    so both engines grade the same number.
+
+    Scale shape: pure per-row column expressions (one projection, no joins,
+    no shuffle) — whole-stage codegen end to end; a 100-TB corpus filters in
+    a single map pass. Oracle: plans/docs_sql.gopher_rules_sql.
+    """
+    from pgs_spark.functions.text import STOPWORDS, tokens
+
+    toks = tokens(F.col(text_col))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop_arr))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(total_chars.cast("double") / n_words.cast("double"), 6).alias(
+            "mean_wlen_r"
+        ),
+        F.round(n_alpha.cast("double") / n_words.cast("double"), 6).alias(
+            "alpha_word_frac_r"
+        ),
+        n_stop.alias("n_stop_distinct"),
+    )
+    fails = (
+        F.when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words), 1
+        ).otherwise(0)
+        + F.when(
+            (F.col("mean_wlen_r") < min_mean_wlen)
+            | (F.col("mean_wlen_r") > max_mean_wlen),
+            1,
+        ).otherwise(0)
+        + F.when(F.col("alpha_word_frac_r") < min_alpha_frac, 1).otherwise(0)
+        + F.when(F.col("n_stop_distinct") < min_stop_distinct, 1).otherwise(0)
+    )
+    return base.select(
+        "*",
+        fails.alias("n_rules_failed"),
+    ).withColumn(
+        "passes", F.when(F.col("n_rules_failed") == 0, 1).otherwise(0)
+    )
+
+
+def c4_line_stats(
+    docs: DataFrame,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style line-level cleaning stats (Raffel et al. 2019 §2.2): split
+    each document on newlines, keep a line iff it ends in terminal
+    punctuation, has at least min_line_words words, and contains neither a
+    curly brace nor the word "javascript" (case-insensitive); the document
+    itself passes iff at least min_kept_lines lines survive. Returns
+    (doc_id, n_lines, n_kept, kept_words, doc_pass).
+
+    DETERMINISM: all-string predicates and integer counts — no floats
+    anywhere, so the verdicts replay bit-identically in any engine. The
+    terminal-punctuation test is against the RTRIMMED line ([.!?] as the
+    last non-space character), matching C4's "terminal punctuation mark"
+    rule without locale-dependent sentence segmentation.
+
+    Scale shape: one per-row array pipeline (split -> filter -> aggregate)
+    inside whole-stage codegen — no joins, no shuffle, single map pass over
+    a 100-TB corpus. Oracle: plans/docs_sql.c4_line_stats_sql (the gate
+    query plants deterministic multi-line structure first — the synthetic
+    corpus is single-line by construction; same discipline as pii_scrub).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _kept(l):  # noqa: E741 - mirrors the C4 rule naming
+        lw = F.lower(l)
+        return (
+            F.rtrim(l).rlike("[.!?]$")
+            & (F.size(F.split(F.trim(l), r"\s+")) >= min_line_words)
+            & ~lw.contains("{")
+            & ~lw.contains("javascript")
+        )
+
+    kept = F.filter(lines, _kept)
+    kept_words = F.aggregate(
+        F.transform(kept, lambda l: F.size(F.split(F.trim(l), r"\s+"))),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        kept_words.alias("kept_words"),
+        F.when(F.size(kept) >= min_kept_lines, 1).otherwise(0).alias("doc_pass"),
+    )

@@ -824,3 +824,94 @@ ests AS (SELECT grp, ROUND({est}, 6) AS distinct_est_r FROM regs GROUP BY grp)
 SELECT c.grp AS {group_col}, c.n_tokens, e.distinct_est_r
 FROM counts c JOIN ests e ON c.grp = e.grp
 """
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_distinct: int = 2,
+) -> str:
+    """Gopher document-quality rules oracle (mirrors
+    operators/corpus.gopher_rules): exact-integer rule inputs, two single
+    divisions rounded to 6dp, thresholds graded on the ROUNDED values —
+    bit-exact against Spark."""
+    return f"""
+WITH d AS MATERIALIZED (SELECT doc_id, {TOKS} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         list_sum(list_transform(w, x -> length(x))) AS total_chars,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+         len(list_intersect(w, [{_SW}])) AS n_stop_distinct
+  FROM d),
+g AS (
+  SELECT doc_id,
+         CAST(n_words AS INT) AS n_words,
+         ROUND(CAST(total_chars AS DOUBLE) / n_words, 6) AS mean_wlen_r,
+         ROUND(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac_r,
+         CAST(n_stop_distinct AS INT) AS n_stop_distinct
+  FROM s)
+SELECT doc_id, n_words, mean_wlen_r, alpha_word_frac_r, n_stop_distinct,
+       (CASE WHEN n_words < {min_words} OR n_words > {max_words} THEN 1 ELSE 0 END
+      + CASE WHEN mean_wlen_r < {min_mean_wlen} OR mean_wlen_r > {max_mean_wlen} THEN 1 ELSE 0 END
+      + CASE WHEN alpha_word_frac_r < {min_alpha_frac} THEN 1 ELSE 0 END
+      + CASE WHEN n_stop_distinct < {min_stop_distinct} THEN 1 ELSE 0 END)
+         AS n_rules_failed,
+       CASE WHEN (n_words >= {min_words} AND n_words <= {max_words}
+             AND mean_wlen_r >= {min_mean_wlen} AND mean_wlen_r <= {max_mean_wlen}
+             AND alpha_word_frac_r >= {min_alpha_frac}
+             AND n_stop_distinct >= {min_stop_distinct}) THEN 1 ELSE 0 END AS passes
+FROM g
+"""
+
+
+# Planted multi-line structure for the C4 gate query (the synthetic corpus
+# is single-line by construction — same augmentation discipline as
+# pii_scrub). Mirrored EXACTLY by __spark_entry__.q_c4_line_filter.
+def c4_augmented_text_sql() -> str:
+    return (
+        "text"
+        " || chr(10) || 'this planted line has plenty of words and ends well '"
+        " || CAST(doc_id % 7 AS VARCHAR) || '.'"
+        " || chr(10) || 'tiny line.'"
+        " || chr(10) || 'this { braced line would otherwise be kept just fine.'"
+        " || chr(10) || 'this javascript line would otherwise be kept just fine.'"
+        " || chr(10) || 'another planted sentence with enough words number '"
+        " || CAST(doc_id % 5 AS VARCHAR) || '!'"
+        " || CASE WHEN doc_id % 3 = 0 THEN chr(10)"
+        " || 'a third good line appears sometimes for doc '"
+        " || CAST(doc_id AS VARCHAR) || '?' ELSE '' END"
+    )
+
+
+def c4_line_stats_sql(min_line_words: int = 5, min_kept_lines: int = 3) -> str:
+    """C4 line-cleaning oracle (mirrors operators/corpus.c4_line_stats over
+    the planted multi-line text): all-string predicates + integer counts —
+    no floats, bit-exact. A line is kept iff the RTRIMMED line ends in
+    [.!?], has >= min_line_words whitespace words, and contains neither a
+    curly brace nor 'javascript' (case-insensitive)."""
+    kept = (
+        "list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?]$')"
+        f" AND len(string_split_regex(trim(l), '\\s+')) >= {min_line_words}"
+        " AND NOT contains(lower(l), '{')"
+        " AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+WITH aug AS MATERIALIZED (
+  SELECT doc_id, {c4_augmented_text_sql()} AS t FROM documents),
+sp AS (
+  SELECT doc_id, string_split(t, chr(10)) AS lines FROM aug),
+k AS (
+  SELECT doc_id, len(lines) AS n_lines, {kept} AS kept FROM sp)
+SELECT doc_id,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       CAST(COALESCE(list_sum(list_transform(kept,
+            l -> len(string_split_regex(trim(l), '\\s+')))), 0) AS INT)
+         AS kept_words,
+       CASE WHEN len(kept) >= {min_kept_lines} THEN 1 ELSE 0 END AS doc_pass
+FROM k
+"""

@@ -901,3 +901,32 @@ def louvain_two_level_sql(
         SELECT l1.id, CAST(COALESCE(l2.comm, l1.comm) AS BIGINT) AS comm
         FROM lvl1 l1 LEFT JOIN lvl2 l2 ON l1.comm = l2.id
     """
+
+
+def edge_jaccard_sql(edges_sql: str, round_to: int = 6) -> str:
+    """Per-edge structural Jaccard oracle (mirrors
+    operators/community.edge_jaccard, exact path — no hub cap): cn per edge
+    is the triangle-support count; union size = deg_src + deg_dst − cn.
+    Exact integers + one division rounded — bit-exact against Spark."""
+    return f"""
+WITH e AS MATERIALIZED ({edges_sql}),
+sym AS MATERIALIZED ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+cn AS (
+  SELECT s1.u AS a, s2.v AS b, COUNT(*) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.u
+  WHERE s1.u < s2.v
+  GROUP BY s1.u, s2.v),
+j AS (
+  SELECT e.src, e.dst, COALESCE(c.cn, 0) AS common_neighbors,
+         da.degree AS deg_src, db.degree AS deg_dst
+  FROM e
+  LEFT JOIN cn c ON c.a = e.src AND c.b = e.dst
+  JOIN deg da ON da.id = e.src
+  JOIN deg db ON db.id = e.dst)
+SELECT src, dst, common_neighbors, deg_src, deg_dst,
+       ROUND(CAST(common_neighbors AS DOUBLE)
+             / CAST(deg_src + deg_dst - common_neighbors AS DOUBLE),
+             {round_to}) AS jaccard_r
+FROM j
+"""
