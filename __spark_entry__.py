@@ -296,6 +296,33 @@ def q_scc(spark, sf_dir):
     return strongly_connected_components(spark, e).assignments
 
 
+def q_build_order(spark, sf_dir):
+    """Condensation build-order levels (operators/dag.build_order): contract
+    the directed consecutive-lineitem part graph to its SCC condensation
+    (mutual-dependency groups build together), then longest-path layering —
+    level k starts once levels < k are done; max(level) is the corpus
+    critical-path depth. The dependency-ordering role of the reference's
+    traversal/ordering family on a directed graph. Exact integers;
+    convergence-independent. Oracle: osql.build_order_sql."""
+    from pgs_spark.operators.dag import build_order
+
+    e = order_sequence_edges(spark, sf_dir, SCC_MINQ).filter(
+        (F.col("src") <= SCC_MAXPART) & (F.col("dst") <= SCC_MAXPART)
+    )
+    return build_order(spark, e).assignments
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient ladder (operators/community.rich_club): edge
+    density among vertices of degree > k for every degree threshold present
+    — the "do the hubs all link to each other" diagnostic. Histogram-sized
+    math after one degree join; exact integers + one rounded division.
+    Oracle: osql.rich_club_sql."""
+    from pgs_spark.operators.community import rich_club
+
+    return rich_club(spark, _dense(spark, sf_dir))
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA partition, per community
     (operators/community.modularity_by_community): the quality score of the
@@ -1791,6 +1818,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_weighted": q_matching_weighted,
         "hits": q_hits,
         "scc": q_scc,
+        "build_order": q_build_order,
+        "rich_club": q_rich_club,
         "harmonic_centrality": q_harmonic,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -2142,6 +2171,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
             f" WHERE src <= {SCC_MAXPART} AND dst <= {SCC_MAXPART}"
         ),
+        "build_order": osql.build_order_sql(
+            f"SELECT src, dst FROM ({order_sequence_sql(SCC_MINQ)}) b"
+            f" WHERE src <= {SCC_MAXPART} AND dst <= {SCC_MAXPART}"
+        ),
+        "rich_club": osql.rich_club_sql(dense),
         "pack_chunks": dsql.pack_chunks_sql(
             capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
         ),

@@ -346,6 +346,29 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         h["inner_supersteps"] for h in scc_res["r"].history
     )
 
+    # round-5d: condensation build-order layering over the SCC partition
+    # just computed (assignments reused, so the timing isolates the
+    # contraction + longest-path supersteps), and the rich-club ladder
+    # (degree-histogram math — one edges×degrees join pair, then
+    # aggregate-sized suffix sums).
+    from pgs_spark.operators.community import rich_club
+    from pgs_spark.operators.dag import build_order
+
+    bo_res = {}
+    timed(
+        "build_order",
+        lambda: bo_res.setdefault(
+            "r",
+            build_order(spark, oseq, assignments=scc_res["r"].assignments),
+        ).assignments.count(),
+    )
+    extra["build_order_rounds"] = bo_res["r"].rounds
+    extra["build_order_converged"] = bo_res["r"].converged
+    extra["build_order_depth"] = int(
+        bo_res["r"].assignments.agg(F.max("level")).collect()[0][0] or 0
+    )
+    timed("rich_club", lambda: rich_club(spark, cop).count())
+
     # round-5b graph ops: clustering coefficient (wedge join + degrees),
     # common-neighbor link prediction (the wedge join OPENED — fan-out is
     # Σdeg², so it runs on the thresholded graph like coloring), modularity

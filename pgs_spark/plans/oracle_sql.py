@@ -930,3 +930,76 @@ SELECT src, dst, common_neighbors, deg_src, deg_dst,
              {round_to}) AS jaccard_r
 FROM j
 """
+
+
+def build_order_sql(edges_sql: str) -> str:
+    """Condensation build-order oracle (mirrors operators/dag.build_order):
+    SCC partition via bidirectional transitive closure (scc_sql's truth),
+    condensation edges by double re-key + distinct, then longest-path level
+    per condensation node via a recursive path-length CTE (UNION dedup;
+    terminates because the condensation is acyclic, rows bounded by
+    nodes x depth). Exact integers — convergence-independent and bit-exact
+    against the engine's superstep relaxation. Gate-scale truth tool only:
+    the closure is quadratic in SCC size and the CTE enumerates path
+    lengths, which is precisely why the engine side iterates a
+    join+groupBy(max) fix point instead."""
+    return f"""
+WITH RECURSIVE raw AS ({edges_sql}),
+e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN e ON r.v = e.src
+),
+scc AS (
+    SELECT a.u AS id, MIN(a.v) AS scc
+    FROM reach a JOIN reach b ON a.u = b.v AND a.v = b.u
+    GROUP BY a.u
+),
+ce AS (
+    SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+    FROM e
+    JOIN scc sa ON e.src = sa.id
+    JOIN scc sb ON e.dst = sb.id
+    WHERE sa.scc <> sb.scc
+),
+cnodes AS (SELECT DISTINCT scc AS node FROM scc),
+lvl(node, l) AS (
+    SELECT node, CAST(0 AS BIGINT) FROM cnodes
+    UNION
+    SELECT ce.dst, lvl.l + 1 FROM lvl JOIN ce ON ce.src = lvl.node
+),
+clevel AS (SELECT node, MAX(l) AS level FROM lvl GROUP BY node)
+SELECT s.id, s.scc, c.level
+FROM scc s JOIN clevel c ON s.scc = c.node
+"""
+
+
+def rich_club_sql(edges_sql: str, round_to: int = 6) -> str:
+    """Rich-club coefficient oracle (mirrors operators/community.rich_club):
+    canonicalize, symmetrized degrees, per-edge min endpoint degree, then
+    the per-threshold suffix sums over BOTH histograms via non-equi joins —
+    the same aggregate-sized relations the engine uses. n_club/e_club exact
+    integers; phi_r one double division (2.0*E)/(N*(N-1)) rounded — the
+    identical expression tree, bit-exact cross-engine."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+      FROM raw WHERE src <> dst),
+sym AS ({sym_cte()}),
+deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+emd AS (
+    SELECT LEAST(ds.degree, dd.degree) AS m
+    FROM e JOIN deg ds ON e.src = ds.id JOIN deg dd ON e.dst = dd.id),
+node_hist AS (SELECT degree AS d, COUNT(*) AS nd FROM deg GROUP BY degree),
+edge_hist AS (SELECT m, COUNT(*) AS ne FROM emd GROUP BY m),
+ks AS (SELECT d AS k FROM node_hist),
+nk AS (SELECT k, SUM(nd) AS n_club FROM ks JOIN node_hist ON d > k GROUP BY k),
+ek AS (SELECT k, SUM(ne) AS e_club FROM ks JOIN edge_hist ON m > k GROUP BY k)
+SELECT nk.k, nk.n_club, COALESCE(ek.e_club, 0) AS e_club,
+       ROUND(2.0 * COALESCE(ek.e_club, 0)
+             / nk.n_club / (nk.n_club - 1), {round_to}) AS phi_r
+FROM nk LEFT JOIN ek ON nk.k = ek.k
+WHERE nk.n_club >= 2
+"""
