@@ -47,6 +47,7 @@ LAYOUT_ITERS = 3  # gate-scale FR iterations (bench runs the reference's 50)
 PACK_ITERS = 3  # gate-scale circle-pack iterations
 LPA_ITERS = 3
 BFS_HOPS = 8
+SSSP_ROUNDS = 6  # fixed Bellman-Ford rounds — the oracle unrolls the same
 HB_STEPS = 3  # HyperBall gate-scale supersteps
 TRUSS_K = 3
 TRUSS_ROUNDS = 2  # gate-scale fixed peel rounds (oracle-replayable program)
@@ -227,6 +228,19 @@ def q_bfs(spark, sf_dir):
     e = _dense(spark, sf_dir).persist()
     source = e.agg(F.min(F.least("src", "dst"))).first()[0]
     return bfs_distances(spark, e, int(source), max_hops=BFS_HOPS)
+
+
+def q_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (operators/traversal.
+    sssp_distances, fixed-round Bellman-Ford) on the weighted co-purchase
+    graph from its minimum vertex id — the Euclidean-weight mode of the
+    reference's distanceTree (PGS_Contour.java:702-745 Dijkstra). Exact
+    integer weights, fixed-round replay. Oracle: osql.sssp_sql."""
+    from pgs_spark.operators.traversal import sssp_distances
+
+    we = co_purchase_weighted_edges(spark, sf_dir, MINQ_DENSE).persist()
+    source = we.agg(F.min(F.least("src", "dst"))).first()[0]
+    return sssp_distances(spark, we, int(source), rounds=SSSP_ROUNDS)
 
 
 def q_double_sweep(spark, sf_dir):
@@ -1820,6 +1834,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "build_order": q_build_order,
         "rich_club": q_rich_club,
+        "sssp": q_sssp,
         "harmonic_centrality": q_harmonic,
         "pack_chunks": q_pack_chunks,
         "decontaminate": q_decontaminate,
@@ -2176,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
             f" WHERE src <= {SCC_MAXPART} AND dst <= {SCC_MAXPART}"
         ),
         "rich_club": osql.rich_club_sql(dense),
+        "sssp": osql.sssp_sql(dense_w, rounds=SSSP_ROUNDS),
         "pack_chunks": dsql.pack_chunks_sql(
             capacity=PACK_CAPACITY, n_shards=PACK_SHARDS
         ),

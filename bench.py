@@ -369,6 +369,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     )
     timed("rich_club", lambda: rich_club(spark, cop).count())
 
+    # weighted SSSP (fixed-round Bellman-Ford) on the weighted co-purchase
+    # graph — the PageRank gather shape with min instead of sum.
+    from pgs_spark.operators.traversal import sssp_distances
+    from pgs_spark.sources.tpch_graph import co_purchase_weighted_edges
+
+    wcop = co_purchase_weighted_edges(spark, sf_dir, 0).persist()
+    src0 = int(wcop.agg(F.min(F.least("src", "dst"))).first()[0])
+    timed(
+        "sssp_6r",
+        lambda: sssp_distances(spark, wcop, src0, rounds=6).count(),
+    )
+    wcop.unpersist()
+
     # round-5b graph ops: clustering coefficient (wedge join + degrees),
     # common-neighbor link prediction (the wedge join OPENED — fan-out is
     # Σdeg², so it runs on the thresholded graph like coloring), modularity

@@ -225,3 +225,78 @@ def double_sweep_diameter(
         ],
         "src0 long, far0 long, ecc0 int, far1 long, diam_lb int",
     )
+
+
+def sssp_distances(
+    spark: SparkSession,
+    weighted_edges: DataFrame,
+    source: int,
+    rounds: int = 6,
+    weight_col: str = "weight",
+    directed: bool = False,
+) -> DataFrame:
+    """Weighted single-source shortest paths — fixed-round Bellman-Ford.
+
+    The WEIGHTED distance tree: PGS_Contour.distanceTree's Euclidean-weight
+    mode (PGS_Contour.java:702-745 runs DijkstraShortestPath when the mesh
+    graph carries edge weights) grafted as superstep relaxation. Round r
+    holds dist_r(v) = min cost of any path from `source` using <= r edges:
+
+        dist_r(v) = min(dist_{r-1}(v), min over (u,v,w): dist_{r-1}(u) + w)
+
+    so a FIXED round count is a well-defined, engine-independent object the
+    DuckDB oracle (plans/oracle_sql.sssp_sql) replays exactly — all-integer
+    weights, no floating point. dist is monotonically non-increasing and
+    the reached set non-decreasing, so an unchanged (count, SUM(dist))
+    signature IS the fix point; early exit then returns exactly the
+    rounds-unrolled result (further rounds are identity), keeping the
+    replayed oracle valid.
+
+    Plan per round: ONE equi-join (state x edges on src) feeding a codegen
+    groupBy(min) over state ∪ candidates — the PageRank gather shape with
+    min instead of sum; hub skew absorbed by map-side partial min. State is
+    (id, dist) for reached vertices only, snapshotted to parquet
+    (operators/state.py — off-heap, lineage truncated, two alternating
+    paths). Negative weights are rejected: fixed-round relaxation is still
+    well-defined but the fix-point early exit and the "shortest" reading
+    are not.
+    """
+    e = weighted_edges.select(
+        "src", "dst", F.col(weight_col).cast("long").alias("w")
+    )
+    sym = (
+        e
+        if directed
+        else e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    ).persist()
+    if (sym.agg(F.min("w")).first()[0] or 0) < 0:
+        sym.unpersist()
+        raise ValueError("sssp_distances requires non-negative weights")
+
+    from pyspark.sql import Observation
+
+    work_dir = make_work_dir("pgs_sssp_")
+    state = spark.createDataFrame([(int(source), 0)], "id long, dist long")
+    state = snapshot(state, work_dir, "d_0")
+    prev_sig = None
+    for r in range(1, rounds + 1):
+        cand = state.join(sym, state["id"] == sym["src"]).select(
+            sym["dst"].alias("id"), (state["dist"] + sym["w"]).alias("dist")
+        )
+        new_state = (
+            state.unionByName(cand).groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+        obs = Observation()
+        observed = new_state.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        )
+        state = snapshot(observed, work_dir, f"d_{r % 2}")
+        vals = obs.get
+        sig = (int(vals["n"] or 0), int(vals["s"] or 0))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    sym.unpersist()
+    return state

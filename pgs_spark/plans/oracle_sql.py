@@ -1003,3 +1003,28 @@ SELECT nk.k, nk.n_club, COALESCE(ek.e_club, 0) AS e_club,
 FROM nk LEFT JOIN ek ON nk.k = ek.k
 WHERE nk.n_club >= 2
 """
+
+
+def sssp_sql(weighted_edges_sql: str, rounds: int = 6) -> str:
+    """Unrolled fixed-round Bellman-Ford oracle (mirrors
+    operators/traversal.sssp_distances, undirected): round CTE r holds
+    min path cost using <= r edges from the graph's minimum vertex id.
+    All-integer arithmetic — bit-exact cross-engine; the engine's fix-point
+    early exit returns the identical relation (further rounds are
+    identity on a converged state)."""
+    parts = [
+        f"e AS MATERIALIZED ({weighted_edges_sql})",
+        "sym AS MATERIALIZED ("
+        "SELECT src AS u, dst AS v, CAST(weight AS BIGINT) AS w FROM e"
+        " UNION ALL SELECT dst, src, CAST(weight AS BIGINT) FROM e)",
+        "d0 AS MATERIALIZED (SELECT (SELECT MIN(u) FROM sym) AS id,"
+        " CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT id, MIN(dist) AS dist FROM ("
+            f"SELECT id, dist FROM d{r - 1}"
+            f" UNION ALL SELECT s.v, d.dist + s.w"
+            f" FROM d{r - 1} d JOIN sym s ON s.u = d.id) g GROUP BY id)"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT id, dist FROM d{rounds}"

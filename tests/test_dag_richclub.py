@@ -95,3 +95,41 @@ def test_rich_club_two_hubs_linked(spark):
     got = {r["k"]: (r["n_club"], r["e_club"], r["phi_r"]) for r in rich_club(spark, e).collect()}
     # k=1: club = {0,1}, the hub-hub edge inside -> phi = 2*1/(2*1) = 1.0
     assert got == {1: (2, 1, 1.0)}
+
+
+# --- sssp (weighted Bellman-Ford) -------------------------------------------
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(
+        [(int(a), int(b), int(w)) for a, b, w in triples],
+        "src long, dst long, weight long",
+    )
+
+
+def test_sssp_prefers_cheap_detour(spark):
+    from pgs_spark.operators.traversal import sssp_distances
+
+    # 0-1 costs 10 direct, but 0-2-1 costs 3; 1-3 extends the cheap path.
+    e = _wedges(spark, [(0, 1, 10), (0, 2, 1), (2, 1, 2), (1, 3, 4)])
+    got = {r["id"]: r["dist"] for r in sssp_distances(spark, e, 0, rounds=6).collect()}
+    assert got == {0: 0, 2: 1, 1: 3, 3: 7}
+
+
+def test_sssp_fixed_rounds_bound_path_length(spark):
+    from pgs_spark.operators.traversal import sssp_distances
+
+    # path 0-1-2-3 with unit weights: rounds=2 reaches only <=2 edges out.
+    e = _wedges(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1)])
+    got = {r["id"]: r["dist"] for r in sssp_distances(spark, e, 0, rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    import pytest as _pytest
+
+    from pgs_spark.operators.traversal import sssp_distances
+
+    e = _wedges(spark, [(0, 1, -1)])
+    with _pytest.raises(ValueError):
+        sssp_distances(spark, e, 0)
