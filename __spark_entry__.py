@@ -80,6 +80,8 @@ LOUVAIN_ROUNDS = 2  # parallel-Louvain synchronous local-move rounds
 KATZ_ROUNDS = 4  # Katz truncation rounds (oracle-replayable)
 MEANAGG_ROUNDS = 2  # SGC mean-aggregate smoothing rounds
 MIX_TAU = 0.5  # temperature mix: the sqrt regime (correctly rounded cross-engine)
+DENSEST_ROUNDS = 8  # densest subgraph: fixed peel rounds (oracle-replayable)
+VOCAB_SIZE = 64  # vocab coverage: top-V vocabulary cut
 
 
 # --------------------------------------------------------------------------
@@ -1704,6 +1706,53 @@ def q_mix_temperature(spark, sf_dir):
     )
 
 
+def q_densest(spark, sf_dir):
+    """Approximate densest subgraph (Bahmani-Kumar-Vassilvitskii parallel
+    greedy peeling, factor 3/2 per round — kcore's density-seeking sibling):
+    vertex set of the best-density round-start subgraph, all-integer removal
+    predicate and best-round key. Oracle: operators/merge.densest_sql."""
+    from pgs_spark.operators.merge import densest_subgraph
+
+    return densest_subgraph(spark, _dense(spark, sf_dir), rounds=DENSEST_ROUNDS)
+
+
+def q_betweenness(spark, sf_dir):
+    """Seeded betweenness centrality (Brandes two-phase, Brandes-Pich pilot
+    seeds id % STRESS_MOD == 0, depth STRESS_DEPTH) — stress_centrality's
+    fractional refinement run in fixed-point micro-units with per-edge floor
+    division, so the dependency sums stay order-free integers. Oracle:
+    plans/oracle_sql.betweenness_sql."""
+    from pgs_spark.operators.centrality import betweenness_from_seeds
+
+    e = _dense(spark, sf_dir)
+    return betweenness_from_seeds(
+        spark, e, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH
+    )
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage: top-VOCAB_SIZE corpus vocabulary
+    (count DESC, token ASC — total order), per-doc OOV fraction in integer
+    micro-units. Oracle: plans/docs_sql.vocab_coverage_sql."""
+    from pgs_spark.operators.corpus import vocab_coverage
+
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE
+    )
+
+
+def q_stream_enrich(spark, sf_dir):
+    """STREAM-STATIC ENRICHMENT JOIN: events stream joined per-row to the
+    static customer dimension (no stream state), stateful rollup per
+    (segment, event_type) with COUNT + integer cent sums, availableNow
+    drain == the batch join+GROUP BY twin. Oracle: inline SQL."""
+    from pgs_spark.streaming.windows import streaming_enriched_rollup
+
+    return streaming_enriched_rollup(
+        spark, f"{sf_dir}/events.parquet", f"{sf_dir}/customer.parquet"
+    )
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1820,6 +1869,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": q_coreness,
         "ra_links": q_ra_links,
         "stress_centrality": q_stress,
+        "betweenness": q_betweenness,
+        "densest": q_densest,
+        "vocab_coverage": q_vocab_coverage,
+        "stream_enrich": q_stream_enrich,
         "rectangles": q_rectangles,
         "louvain": q_louvain,
         "louvain_weighted": q_louvain_weighted,
@@ -2113,6 +2166,20 @@ def oracle_sql() -> dict[str, str]:
         "stress_centrality": osql.stress_sql(
             dense, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH
         ),
+        "betweenness": osql.betweenness_sql(
+            dense, seed_mod=STRESS_MOD, max_depth=STRESS_DEPTH
+        ),
+        "densest": __import__(
+            "pgs_spark.operators.merge", fromlist=["densest_sql"]
+        ).densest_sql(dense, rounds=DENSEST_ROUNDS),
+        "vocab_coverage": dsql.vocab_coverage_sql(vocab_size=VOCAB_SIZE),
+        "stream_enrich": """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+""",
         "rectangles": osql.rectangles_sql(dense),
         "louvain": osql.louvain_sql(dense, rounds=LOUVAIN_ROUNDS),
         "louvain_weighted": osql.louvain_sql(

@@ -184,3 +184,129 @@ def katz_centrality(
             ).cast("long").alias("katz"),
         )
     return x
+
+
+def betweenness_from_seeds(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    seeds: list[int] | DataFrame | None = None,
+    seed_mod: int | None = None,
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Seeded BETWEENNESS centrality — the fractional refinement of
+    stress_from_seeds (same Brandes 2001 two-phase skeleton, same
+    Brandes-Pich 2007 pilot-seed estimator shape): instead of counting the
+    shortest paths through a vertex, weight each one by the FRACTION of
+    s->t shortest paths it represents.
+
+    DETERMINISM: Brandes' dependency recursion
+        delta(v) = sum_{w in succ(v)} sigma_v / sigma_w * (1 + delta(w))
+    sums floats whose value depends on aggregation order — not replayable
+    across engines. Here the recursion runs in FIXED-POINT MICRO-UNITS with
+    floor division applied per successor edge:
+        delta_u(v) = sum_w (sigma_v * (scale + delta_u(w))) // sigma_w
+    Every term is one integer multiply + one integer floor division
+    (Spark `div` == DuckDB `//` on non-negative operands), and the sum is
+    an order-free integer — bit-exact cross-engine, no epsilon. The
+    floor-per-edge rounding makes this a deterministic micro-unit VARIANT
+    of Brandes' real-valued delta (each term under-counts by < 1 micro);
+    the estimator semantics (fixed seeds, fixed depth) are unchanged.
+
+    Scale shape identical to stress_from_seeds: forward BFS sigma levels,
+    backward per-level join + one map-side-combinable integer SUM; state is
+    |seeds| x |V| rows max, snapshot per level. Overflow bound: sigma_v *
+    (scale + delta) must stay under 2^63 — sigma grows with path multiplicity,
+    so depth is the disclosed budget exactly as in stress.
+
+    Returns (id, bc_micro): sum over seeds of the micro-unit dependency, for
+    vertices with bc_micro > 0 (interior vertices of at least one counted
+    shortest path).  Oracle: plans/oracle_sql.betweenness_sql.
+    """
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_btw_")
+    sym = symmetrize(
+        undirected_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    sym = snapshot(sym, work_dir, "sym")
+
+    if seed_mod is not None:
+        seeds_df = (
+            sym.select(F.col("u").alias("id")).distinct()
+            .filter(F.col("id") % seed_mod == 0)
+        )
+    elif isinstance(seeds, DataFrame):
+        seeds_df = seeds.select("id")
+    else:
+        seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "id long")
+    lvl0 = seeds_df.select(
+        F.col("id").alias("s"), "id", F.lit(1).cast("long").alias("sigma")
+    )
+    levels: list[DataFrame] = [snapshot(lvl0, work_dir, "lvl_0")]
+    seen = levels[0].select("s", "id")
+    for d in range(1, max_depth + 1):
+        prev = levels[-1]
+        nxt = (
+            prev.join(sym, prev["id"] == sym["u"])
+            .select("s", F.col("v").alias("id"), "sigma")
+            .join(seen, ["s", "id"], "left_anti")
+            .groupBy("s", "id")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = snapshot(nxt, work_dir, f"lvl_{d}")
+        levels.append(nxt)
+        seen = snapshot(
+            seen.union(nxt.select("s", "id")), work_dir, f"seen_{d % 2}"
+        )
+
+    # backward: delta rides with sigma so each level join is self-contained
+    delta = levels[max_depth].select(
+        "s", "id", "sigma", F.lit(0).cast("long").alias("delta")
+    )
+    delta = snapshot(delta, work_dir, f"delta_{max_depth}")
+    contribs: list[DataFrame] = []
+    for d in range(max_depth - 1, -1, -1):
+        succ = (
+            delta.join(sym, delta["id"] == sym["v"])
+            .select(
+                "s",
+                F.col("u").alias("id"),
+                F.col("sigma").alias("w_sigma"),
+                F.col("delta").alias("w_delta"),
+            )
+        )
+        cur = levels[d]
+        delta = (
+            cur.select("s", "id", "sigma")
+            .join(succ, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "sigma",
+                F.expr(
+                    f"(sigma * ({int(scale)}L + w_delta)) DIV w_sigma"
+                ).alias("term"),
+            )
+            .groupBy("s", "id")
+            .agg(
+                F.first("sigma").alias("sigma"),
+                F.coalesce(F.sum("term"), F.lit(0)).cast("long").alias("delta"),
+            )
+        )
+        delta = snapshot(delta, work_dir, f"delta_{d}")
+        contribs.append(
+            delta.filter(F.col("id") != F.col("s")).select(
+                "id", F.col("delta").alias("c")
+            )
+        )
+    out = contribs[0]
+    for c in contribs[1:]:
+        out = out.union(c)
+    return (
+        out.groupBy("id")
+        .agg(F.sum("c").cast("long").alias("bc_micro"))
+        .filter(F.col("bc_micro") > 0)
+    )

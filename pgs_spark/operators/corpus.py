@@ -738,3 +738,57 @@ def c4_line_stats(
         kept_words.alias("kept_words"),
         F.when(F.size(kept) >= min_kept_lines, 1).otherwise(0).alias("doc_pass"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` token
+    vocabulary by corpus frequency (ties broken by token ascending — the
+    deterministic-ordering discipline, PGS_Conversion.java:1087-1088) and
+    score every document's OUT-OF-VOCABULARY token fraction against it.
+    This is the coverage check run before committing to a tokenizer vocab:
+    a doc slice with high OOV under the candidate vocabulary signals domain
+    mismatch.
+
+    All-integer: counts are exact, the vocabulary cut is a total order
+    (count DESC, token ASC — no two tokens tie completely), and oov_micro =
+    n_oov * 10^6 // n_tokens is one floor division — bit-exact vs the
+    DuckDB twin (plans/docs_sql.vocab_coverage_sql), no epsilon.
+
+    Scale shape: token counts are one map-side-combinable groupBy over the
+    token explosion; the vocabulary is a vocab_size-row relation (orderBy +
+    limit = distributed TakeOrdered, never a global sort of the corpus) that
+    broadcast-joins back onto the explosion; the per-doc aggregate is again
+    map-side combinable. Nothing is ever corpus-sized on one node.
+
+    Returns (doc_id, n_tokens, n_oov, oov_micro).
+    """
+    from pyspark.sql.functions import broadcast
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).persist()
+    counts = tok.groupBy("term").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("iv"))
+    )
+    return (
+        tok.join(broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000000) DIV n_tokens").alias("oov_micro"),
+        )
+    )

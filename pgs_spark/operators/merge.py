@@ -304,3 +304,148 @@ def coreness_hindex_sql(edges_sql: str, rounds: int = 4) -> str:
         )
         prev = f"val{r}"
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, val AS coreness FROM {prev}"
+
+
+def densest_subgraph(
+    spark: SparkSession,
+    undirected_edges: DataFrame,
+    rounds: int = 8,
+    factor_num: int = 3,
+    factor_den: int = 2,
+) -> DataFrame:
+    """Approximate DENSEST SUBGRAPH via parallel greedy peeling — the
+    density-seeking sibling of kcore()'s fixed-threshold peel (the same
+    FastPolygonizer dangle-removal loop, commons/FastPolygonizer.java:70-80,
+    with the threshold re-derived from the surviving graph each round).
+
+    Algorithm (Bahmani, Kumar, Vassilvitskii, VLDB 2012 — the MapReduce
+    densest-subgraph paper; Charikar 2000 greedy made parallel): each round
+    removes EVERY vertex whose degree is at most (1+eps) times the current
+    average degree 2m/n, where 1+eps = factor_num/factor_den; the answer is
+    the round-start subgraph with the best edge/vertex density seen. With
+    enough rounds to drain the graph this is a 2(1+eps)-approximation; a
+    fixed ``rounds`` budget (the kcore oracle-unrolling discipline) returns
+    the best prefix examined — still a subgraph whose density is a certified
+    lower bound, with both bounds disclosed parameters.
+
+    DETERMINISM: the removal predicate is pure-integer cross-multiplication
+    (deg * n * factor_den <= 2m * factor_num — no division anywhere), the
+    best-round key is m * 10^12 // n (floor division on exact integers,
+    ties to the EARLIEST round), and the reported density is micro-units
+    m * 10^6 // n — bit-exact against the unrolled DuckDB twin
+    (densest_sql), no epsilon.
+
+    Scale shape: each round is one symmetrized degree count plus two
+    semi-join-shaped filters of the edge table — identical to kcore's
+    per-round plan; (m, n) ride back as ONE scalar aggregate row per round
+    (never a data-sized collect). Guaranteed progress: the minimum-degree
+    vertex always falls at or below (1+eps) * average, so each live round
+    strictly shrinks the graph and O(log_{1+eps} n) rounds drain it.
+
+    Vertex-set convention: V_r = endpoints of the surviving edge set (a
+    peeled vertex takes its edges with it; isolated vertices carry no edges
+    and leave density undefined upward) — disclosed, matched by the oracle.
+
+    Returns (id, density_micro): the vertex set of the best subgraph, each
+    row stamped with its density in micro-units.
+    """
+    from pgs_spark.operators.state import make_work_dir, snapshot
+
+    work_dir = make_work_dir("pgs_densest_")
+    e = snapshot(
+        undirected_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        work_dir,
+        "e_0",
+    )
+    snaps: list[DataFrame] = [e]
+    stats: list[tuple[int, int, int]] = []  # (round, m, n)
+    for r in range(rounds + 1):
+        deg = (
+            symmetrize(e)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.count("*").alias("d"))
+        )
+        row = deg.agg(
+            F.count("*").alias("n"), F.coalesce(F.sum("d"), F.lit(0)).alias("twom")
+        ).collect()[0]
+        n, m = int(row["n"]), int(row["twom"]) // 2
+        stats.append((r, m, n))
+        if m == 0 or r == rounds:
+            break
+        keep = deg.filter(
+            F.col("d") * F.lit(n) * F.lit(factor_den)
+            > F.lit(2 * m * factor_num)
+        ).select("id")
+        e = snapshot(
+            e.join(keep.select(F.col("id").alias("src")), "src")
+            .join(keep.select(F.col("id").alias("dst")), "dst")
+            .select("src", "dst"),
+            work_dir,
+            f"e_{r + 1}",
+        )
+        snaps.append(e)
+    live = [(r, m, n) for r, m, n in stats if n > 0]
+    if not live:
+        return spark.createDataFrame([], "id long, density_micro long")
+    best_r, best_m, best_n = min(live, key=lambda t: (-(t[1] * 10**12 // t[2]), t[0]))
+    best_e = snaps[best_r]
+    verts = (
+        best_e.select(F.col("src").alias("id"))
+        .union(best_e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return verts.select(
+        "id", F.lit(best_m * 10**6 // best_n).cast("long").alias("density_micro")
+    )
+
+
+def densest_sql(
+    edges_sql: str, rounds: int = 8, factor_num: int = 3, factor_den: int = 2
+) -> str:
+    """Unrolled DuckDB oracle for densest_subgraph: identical fixed-round
+    peel, integer cross-multiplied removal, HUGEINT-keyed best round."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)",
+    ]
+    for r in range(rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT u AS id, COUNT(*) AS d FROM "
+            f"(SELECT src AS u FROM e{r} UNION ALL SELECT dst FROM e{r}) s{r} "
+            f"GROUP BY u)"
+        )
+        parts.append(
+            f"st{r} AS (SELECT COUNT(*) AS n, "
+            f"CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS m FROM d{r})"
+        )
+        if r < rounds:
+            parts.append(
+                f"e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e "
+                f"JOIN (SELECT id FROM d{r}, st{r} "
+                f"WHERE d * n * {factor_den} > 2 * m * {factor_num}) ka "
+                f"ON e.src = ka.id "
+                f"JOIN (SELECT id FROM d{r}, st{r} "
+                f"WHERE d * n * {factor_den} > 2 * m * {factor_num}) kb "
+                f"ON e.dst = kb.id)"
+            )
+    stats_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, m, n FROM st{r}" for r in range(rounds + 1)
+    )
+    verts_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, src AS id FROM e{r} "
+        f"UNION ALL SELECT {r}, dst FROM e{r}"
+        for r in range(rounds + 1)
+    )
+    parts += [
+        f"stats AS ({stats_union})",
+        "best AS (SELECT r, m, n FROM stats WHERE n > 0 "
+        "ORDER BY CAST(m AS HUGEINT) * 1000000000000 // n DESC, r ASC LIMIT 1)",
+        f"allv AS (SELECT DISTINCT r, id FROM ({verts_union}) vu)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT v.id, CAST(CAST(b.m AS HUGEINT) * 1000000 // b.n AS BIGINT)"
+        + " AS density_micro FROM allv v JOIN best b ON v.r = b.r"
+    )

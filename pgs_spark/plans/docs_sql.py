@@ -915,3 +915,24 @@ SELECT doc_id,
        CASE WHEN len(kept) >= {min_kept_lines} THEN 1 ELSE 0 END AS doc_pass
 FROM k
 """
+
+
+def vocab_coverage_sql(vocab_size: int = 64) -> str:
+    """Oracle for corpus.vocab_coverage: identical top-V vocabulary cut
+    (COUNT DESC, term ASC — a total order, so LIMIT is deterministic) and
+    the same integer floor-divided OOV fraction."""
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKS} AS w FROM documents),
+tok AS MATERIALIZED (SELECT doc_id, unnest(w) AS term FROM docs),
+cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+vocab AS (SELECT term, 1 AS iv FROM cnt ORDER BY c DESC, term ASC LIMIT {vocab_size}),
+perdoc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN v.iv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_micro
+FROM perdoc
+"""

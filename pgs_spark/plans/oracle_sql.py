@@ -1028,3 +1028,55 @@ def sssp_sql(weighted_edges_sql: str, rounds: int = 6) -> str:
             f" FROM d{r - 1} d JOIN sym s ON s.u = d.id) g GROUP BY id)"
         )
     return "WITH " + ",\n".join(parts) + f"\nSELECT id, dist FROM d{rounds}"
+
+
+def betweenness_sql(
+    edges_sql: str, seed_mod: int, max_depth: int = 3, scale: int = 1_000_000
+) -> str:
+    """Unrolled DuckDB oracle for operators/centrality.betweenness_from_seeds:
+    stress_sql's forward sigma levels, then the micro-unit dependency
+    recursion backward — per-successor-edge floor division (// == Spark's
+    `div` on non-negative operands), order-free integer sums. Exact parity."""
+    parts = [
+        f"eraw AS ({edges_sql})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst)",
+        f"sym AS MATERIALIZED ({sym_cte('e0')})",
+        f"seeds AS (SELECT DISTINCT u AS s FROM sym WHERE u % {seed_mod} = 0)",
+        "l0 AS MATERIALIZED (SELECT s, s AS id, CAST(1 AS BIGINT) AS sigma FROM seeds)",
+        "seen0 AS (SELECT s, id FROM l0)",
+    ]
+    for d in range(1, max_depth + 1):
+        parts += [
+            f"l{d} AS MATERIALIZED (SELECT p.s, y.v AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            f"FROM l{d - 1} p JOIN sym y ON y.u = p.id "
+            f"WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} z "
+            f"WHERE z.s = p.s AND z.id = y.v) "
+            f"GROUP BY p.s, y.v)",
+            f"seen{d} AS MATERIALIZED (SELECT s, id FROM seen{d - 1} "
+            f"UNION ALL SELECT s, id FROM l{d})",
+        ]
+    parts.append(
+        f"dl{max_depth} AS (SELECT s, id, sigma, CAST(0 AS BIGINT) AS delta "
+        f"FROM l{max_depth})"
+    )
+    for d in range(max_depth - 1, -1, -1):
+        parts.append(
+            f"dl{d} AS MATERIALIZED (SELECT v.s, v.id, v.sigma, "
+            f"CAST(COALESCE(SUM((v.sigma * ({scale} + w.delta)) // w.sigma), 0) "
+            f"AS BIGINT) AS delta "
+            f"FROM l{d} v "
+            f"LEFT JOIN (SELECT p.s, y.u AS u, p.sigma, p.delta FROM dl{d + 1} p "
+            f"JOIN sym y ON y.v = p.id) w ON w.s = v.s AND w.u = v.id "
+            f"GROUP BY v.s, v.id, v.sigma)"
+        )
+    dl_union = " UNION ALL ".join(
+        f"SELECT s, id, delta FROM dl{d}" for d in range(max_depth)
+    )
+    parts.append(
+        f"contrib AS (SELECT id, delta AS c FROM ({dl_union}) du WHERE id <> s)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT id, CAST(SUM(c) AS BIGINT) AS bc_micro "
+        + "FROM contrib GROUP BY id HAVING SUM(c) > 0"
+    )

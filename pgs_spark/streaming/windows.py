@@ -234,3 +234,69 @@ def streaming_cms_sketch(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_enriched_rollup(
+    spark: SparkSession, events_parquet: str, customer_parquet: str
+) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT JOIN: readStream over the events parquet,
+    joined per-row against the STATIC customer dimension (the standard
+    Spark stream-static inner join — stateless on the stream side; the
+    static side is planned as an ordinary batch relation and broadcast by
+    AQE at dimension size), then a stateful rollup per (segment,
+    event_type) with order-insensitive integer aggregates, availableNow
+    drained.
+
+    This is the canonical streaming-ETL shape the batch engine's join
+    operators (§2.4) take when the fact side is unbounded: dimension
+    lookups need no stream state at all, so only the final rollup holds
+    state (one row per segment x type — bounded regardless of input size).
+
+    DETERMINISM: the join is per-row, the aggregates are COUNT plus an
+    integer SUM of half-away-from-zero-rounded value cents (one
+    correctly-rounded double multiply + round per row — identical in both
+    engines; the SUM is then order-free). Equals the batch join+GROUP BY
+    twin exactly — the oracle.
+
+    Returns (segment, event_type, n_events, value_cents).
+    """
+    import os
+
+    batch_schema = spark.read.parquet(events_parquet).schema
+    if os.path.isdir(events_parquet):
+        reader = spark.readStream.schema(batch_schema)
+        src = events_parquet
+    else:
+        reader = spark.readStream.schema(batch_schema).option(
+            "pathGlobFilter", os.path.basename(events_parquet)
+        )
+        src = os.path.dirname(events_parquet)
+    dim = spark.read.parquet(customer_parquet).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    agg = (
+        reader.parquet(src)
+        .select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .join(dim, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
