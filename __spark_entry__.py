@@ -82,6 +82,8 @@ MEANAGG_ROUNDS = 2  # SGC mean-aggregate smoothing rounds
 MIX_TAU = 0.5  # temperature mix: the sqrt regime (correctly rounded cross-engine)
 DENSEST_ROUNDS = 8  # densest subgraph: fixed peel rounds (oracle-replayable)
 VOCAB_SIZE = 64  # vocab coverage: top-V vocabulary cut
+COCITE_MIN_COMMON = 2  # co-citation/coupling: min shared neighbors kept
+ATTR_WINDOW_MIN = 60  # stream-stream join: attribution window (minutes)
 
 
 # --------------------------------------------------------------------------
@@ -1753,6 +1755,46 @@ def q_stream_enrich(spark, sf_dir):
     )
 
 
+def q_cocitation(spark, sf_dir):
+    """Co-citation pairs (Small 1973) on the directed order-sequence part
+    graph: unordered part pairs counted by shared IN-neighbors (parts the
+    same predecessor leads into) — operators/community.cocitation_pairs,
+    exact regime. Oracle: plans/oracle_sql.cocitation_sql."""
+    from pgs_spark.operators.community import cocitation_pairs
+
+    return cocitation_pairs(
+        spark,
+        order_sequence_edges(spark, sf_dir, 0),
+        min_common=COCITE_MIN_COMMON,
+    )
+
+
+def q_coupling(spark, sf_dir):
+    """Bibliographic coupling (Kessler 1963) = co-citation of the TRANSPOSE
+    (shared OUT-neighbors): same operator, transpose=True — the transpose
+    identity is also asserted in tests. Oracle: cocitation_sql(transpose)."""
+    from pgs_spark.operators.community import cocitation_pairs
+
+    return cocitation_pairs(
+        spark,
+        order_sequence_edges(spark, sf_dir, 0),
+        min_common=COCITE_MIN_COMMON,
+        transpose=True,
+    )
+
+
+def q_stream_join(spark, sf_dir):
+    """STREAM-STREAM INNER JOIN: view stream ⋈ purchase stream on user_id
+    within an event-time range (attribution window ATTR_WINDOW_MIN),
+    watermarked both sides, availableNow append drain; per-user rollup of
+    the drained pairs. Oracle: inline batch self-join SQL."""
+    from pgs_spark.streaming.windows import streaming_attribution_join
+
+    return streaming_attribution_join(
+        spark, f"{sf_dir}/events.parquet", window_minutes=ATTR_WINDOW_MIN
+    )
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1873,6 +1915,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest": q_densest,
         "vocab_coverage": q_vocab_coverage,
         "stream_enrich": q_stream_enrich,
+        "cocitation": q_cocitation,
+        "coupling": q_coupling,
+        "stream_join": q_stream_join,
         "rectangles": q_rectangles,
         "louvain": q_louvain,
         "louvain_weighted": q_louvain_weighted,
@@ -2173,6 +2218,23 @@ def oracle_sql() -> dict[str, str]:
             "pgs_spark.operators.merge", fromlist=["densest_sql"]
         ).densest_sql(dense, rounds=DENSEST_ROUNDS),
         "vocab_coverage": dsql.vocab_coverage_sql(vocab_size=VOCAB_SIZE),
+        "cocitation": osql.cocitation_sql(
+            order_sequence_sql(0), min_common=COCITE_MIN_COMMON
+        ),
+        "coupling": osql.cocitation_sql(
+            order_sequence_sql(0), min_common=COCITE_MIN_COMMON, transpose=True
+        ),
+        "stream_join": f"""
+SELECT v.user_id, COUNT(*) AS n_attributed,
+       CAST(SUM(CAST(ROUND(p.value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS attributed_cents
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL {ATTR_WINDOW_MIN} MINUTES
+GROUP BY v.user_id
+""",
         "stream_enrich": """
 SELECT c.c_mktsegment AS segment, e.event_type,
        COUNT(*) AS n_events,

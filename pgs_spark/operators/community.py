@@ -679,3 +679,63 @@ def rich_club(
             ).alias("phi_r"),
         )
     )
+
+
+def cocitation_pairs(
+    spark: SparkSession,
+    directed_edges: DataFrame,
+    min_common: int = 2,
+    max_key_degree: int | None = None,
+    transpose: bool = False,
+) -> DataFrame:
+    """CO-CITATION (Small 1973) / BIBLIOGRAPHIC COUPLING (Kessler 1963) —
+    the directed-graph link-analysis pair measures: co-citation counts, for
+    each unordered pair {a, b}, the sources that point at BOTH (shared
+    in-neighbors); coupling counts the targets both point AT (shared
+    out-neighbors). The directed complement of ``common_neighbor_links``
+    (which scores undirected distance-2 pairs): here direction carries the
+    semantics — on a code link graph, co-cited modules are ones the same
+    importers depend on (substitutes/siblings), coupled modules share a
+    dependency footprint. Reference role: the same shared-key pair
+    derivation as toDualGraph's records-sharing-a-key edges
+    (PGS_Conversion.java:1068-1108) with the key being a graph vertex
+    rather than a record field.
+
+    ``transpose=True`` swaps src/dst first, turning the co-citation join
+    into coupling — one operator, both measures (coupling(G) ==
+    cocitation(Gᵀ), asserted in tests).
+
+    DETERMINISM: pure integer counting over a DISTINCT edge set — no
+    floats anywhere; bit-exact vs the DuckDB twin (oracle_sql.
+    cocitation_sql), no epsilon.
+
+    Scale shape: one self-equi-join of the edge table on the shared
+    endpoint collapsed immediately by a map-side-combinable COUNT per
+    (a, b) — fan-out Σ deg(key)², the rectangle_count/edge_jaccard wedge
+    discipline. ``max_key_degree`` drops hub keys above a degree cap (the
+    standard power-law bound — DISCLOSED via the argument, never silent;
+    None = exact, the gate regime). min_common prunes the long tail of
+    1-shared-neighbor pairs before the result materializes.
+
+    Returns (a, b, n_common) with a < b and n_common >= min_common.
+    """
+    e = (
+        directed_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if transpose:
+        e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if max_key_degree is not None:
+        keydeg = e.groupBy("src").agg(F.count("*").alias("kd"))
+        ok = keydeg.filter(F.col("kd") <= max_key_degree).select("src")
+        e = e.join(ok, "src", "left_semi")
+    s1 = e.select(F.col("src").alias("k"), F.col("dst").alias("a"))
+    s2 = e.select(F.col("src").alias("k"), F.col("dst").alias("b"))
+    return (
+        s1.join(s2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

@@ -1080,3 +1080,21 @@ def betweenness_sql(
         + "\nSELECT id, CAST(SUM(c) AS BIGINT) AS bc_micro "
         + "FROM contrib GROUP BY id HAVING SUM(c) > 0"
     )
+
+
+def cocitation_sql(
+    edges_sql: str, min_common: int = 2, transpose: bool = False
+) -> str:
+    """DuckDB twin of operators/community.cocitation_pairs (exact regime,
+    no hub cap): distinct directed edges, optional transpose, shared-key
+    self-join, integer count per unordered pair."""
+    flip = "SELECT dst AS src, src AS dst FROM e0" if transpose else "SELECT src, dst FROM e0"
+    return f"""
+WITH eraw AS ({edges_sql}),
+e0 AS (SELECT DISTINCT src, dst FROM eraw WHERE src <> dst),
+e AS MATERIALIZED ({flip})
+SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+GROUP BY e1.dst, e2.dst
+HAVING COUNT(*) >= {int(min_common)}
+"""

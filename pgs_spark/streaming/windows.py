@@ -300,3 +300,99 @@ def streaming_enriched_rollup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_attribution_join(
+    spark: SparkSession,
+    events_parquet: str,
+    window_minutes: int = 60,
+) -> DataFrame:
+    """STREAM-STREAM INNER JOIN — the last Structured Streaming join shape
+    (stream-static is streaming_enriched_rollup): the view stream joined to
+    the purchase stream on user_id with an EVENT-TIME RANGE condition
+    (purchase within ``window_minutes`` after the view), watermarks on both
+    sides bounding the join state, availableNow-drained in append mode.
+    This is the attribution topology (which view gets credit for a
+    purchase) — unbounded⋈unbounded, where Spark buffers each side only
+    until the other side's watermark passes the range bound.
+
+    DETERMINISM: on static input the drain emits exactly the pairs
+    satisfying the time-range predicate (microsecond-integer timestamp
+    comparisons), and the rollup — run BATCH-side on the drained pairs, so
+    the streaming surface under test is the join itself — is COUNT plus an
+    order-free integer cent SUM per user. Equals the batch self-join twin
+    exactly (the inline oracle in __spark_entry__).
+
+    At scale the watermark bounds state to window_minutes of each stream
+    per partition; the join keys hash-partition both sides identically so
+    matching rows co-locate without a broadcast.
+
+    Returns (user_id, n_attributed, attributed_cents).
+    """
+    import os
+
+    batch_schema = spark.read.parquet(events_parquet).schema
+    if os.path.isdir(events_parquet):
+        src = events_parquet
+
+        def reader():
+            return spark.readStream.schema(batch_schema).parquet(src)
+
+    else:
+        src = os.path.dirname(events_parquet)
+        glob = os.path.basename(events_parquet)
+
+        def reader():
+            return (
+                spark.readStream.schema(batch_schema)
+                .option("pathGlobFilter", glob)
+                .parquet(src)
+            )
+
+    views = (
+        reader()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", f"{window_minutes * 2} minutes")
+    )
+    purchases = (
+        reader()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .withWatermark("p_ts", f"{window_minutes * 2} minutes")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+        "inner",
+    )
+    name = f"attr_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="pgs_stream_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )
