@@ -84,6 +84,7 @@ DENSEST_ROUNDS = 8  # densest subgraph: fixed peel rounds (oracle-replayable)
 VOCAB_SIZE = 64  # vocab coverage: top-V vocabulary cut
 COCITE_MIN_COMMON = 2  # co-citation/coupling: min shared neighbors kept
 ATTR_WINDOW_MIN = 60  # stream-stream join: attribution window (minutes)
+TRI_EST_HEX = 8  # DOULION estimator: keep 8/16 hex digits -> p = 1/2
 
 
 # --------------------------------------------------------------------------
@@ -1795,6 +1796,28 @@ def q_stream_join(spark, sf_dir):
     )
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    (operators/corpus.event_transitions): LEAD over the (ts, event_id)
+    total order, exact counts, floor-divided micro probabilities. Oracle:
+    docs_sql.event_transitions_sql."""
+    from pgs_spark.operators.corpus import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_triangle_estimate(spark, sf_dir):
+    """DOULION seeded triangle estimator (operators/triangles.
+    sampled_triangle_estimate): md5 hash-coin edge sparsification at
+    p = TRI_EST_HEX/16, exact count on the sample, integer 1/p^3 scale-up.
+    Oracle: plans/oracle_sql.sampled_triangles_sql."""
+    from pgs_spark.operators.triangles import sampled_triangle_estimate
+
+    return sampled_triangle_estimate(
+        spark, _dense(spark, sf_dir), keep_hex=TRI_EST_HEX
+    )
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1918,6 +1941,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "coupling": q_coupling,
         "stream_join": q_stream_join,
+        "event_transitions": q_event_transitions,
+        "triangle_estimate": q_triangle_estimate,
         "rectangles": q_rectangles,
         "louvain": q_louvain,
         "louvain_weighted": q_louvain_weighted,
@@ -2218,6 +2243,10 @@ def oracle_sql() -> dict[str, str]:
             "pgs_spark.operators.merge", fromlist=["densest_sql"]
         ).densest_sql(dense, rounds=DENSEST_ROUNDS),
         "vocab_coverage": dsql.vocab_coverage_sql(vocab_size=VOCAB_SIZE),
+        "event_transitions": dsql.event_transitions_sql(),
+        "triangle_estimate": osql.sampled_triangles_sql(
+            dense, keep_hex=TRI_EST_HEX
+        ),
         "cocitation": osql.cocitation_sql(
             order_sequence_sql(0), min_common=COCITE_MIN_COMMON
         ),

@@ -792,3 +792,58 @@ def vocab_coverage(
             F.expr("(n_oov * 1000000) DIV n_tokens").alias("oov_micro"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """First-order MARKOV TRANSITION MATRIX over per-user event sequences —
+    the probabilistic summary of the journeys funnel_counts thresholds: for
+    every ordered pair of event types, the count of consecutive occurrences
+    and the empirical transition probability P(to | from). The sequence
+    derivation is the reference's consecutive-pair ring walk
+    (PGS_Conversion.java:1068-1108 / operators/edges.py:48) applied to a
+    user's event timeline instead of a face's vertex ring.
+
+    DETERMINISM: the per-user order is (ts, tie_col) — a TOTAL order
+    (event_id is unique), so LEAD is replayable; counts are exact integers
+    and prob_micro = cnt * 10^6 // from_total is one floor division —
+    bit-exact vs the DuckDB twin (docs_sql.event_transitions_sql).
+
+    Scale shape: one window partitioned BY USER (millions of small
+    partitions — no global sort), then a map-side-combinable count per
+    (from, to) over a |types|² result; the from_total join is a broadcast
+    of the |types|-row marginal. State never exceeds one user's events.
+
+    Returns (from_type, to_type, n_transitions, prob_micro).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("from_total")
+    )
+    return (
+        pairs.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_transitions",
+            F.expr("(n_transitions * 1000000) DIV from_total").alias(
+                "prob_micro"
+            ),
+        )
+    )

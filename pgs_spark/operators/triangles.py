@@ -138,3 +138,56 @@ def rectangle_count(
         F.expr("cp2 DIV 2").cast("long").alias("n_rectangles"),
         F.col("n_closed_pairs").cast("long"),
     )
+
+
+def sampled_triangle_estimate(
+    spark: SparkSession,
+    edges: DataFrame,
+    keep_hex: int = 4,
+    seed_tag: str = "t42",
+) -> DataFrame:
+    """DOULION (Tsourakakis et al., KDD 2009) triangle-count ESTIMATOR:
+    sparsify the edge set by an independent coin of probability
+    p = keep_hex/16 per edge, count triangles exactly on the sample, and
+    scale by 1/p³. The cheap companion to the exact wedge join — at 100 TB
+    the sample's Σ deg² wedge fan-out shrinks by ~p² and the expected
+    relative error is O(1/sqrt(p³·T)), the standard estimate-first /
+    verify-where-it-matters pattern (neighborhood_est's HyperBall sibling
+    for triangles).
+
+    DETERMINISM: the coin is the repo's seeded-sampler idiom (hash-order,
+    not rand() — q_hash_sample / PGS_PointSet.java:227-264): keep a
+    canonical edge iff the first hex char of md5("src|dst|seed_tag") falls
+    in the first ``keep_hex`` hex digits. md5 is bit-identical
+    Spark↔DuckDB, so the sample — and therefore the estimate — replays
+    exactly cross-engine, no epsilon.
+
+    Scale shape: the filter is one codegen projection pushed at the edge
+    scan; the triangle count on the sample is the same id-ordered two-join
+    plan as the exact operator, just p³ smaller.
+
+    Returns one row (n_sampled_triangles, est_triangles) with
+    est = n · 16³ // keep_hex³ (floor — integers end to end).
+    """
+    if not 1 <= keep_hex <= 16:
+        raise ValueError("keep_hex must be in [1, 16]")
+    digits = "0123456789abcdef"[:keep_hex]
+    und = canonicalize(edges)
+    coin = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("src").cast("string"),
+                F.col("dst").cast("string"),
+                F.lit(seed_tag),
+            )
+        ),
+        1,
+        1,
+    )
+    sample = und.filter(coin.isin(list(digits)))
+    n = triangles(spark, sample).count()
+    est = n * 16**3 // keep_hex**3
+    return spark.createDataFrame(
+        [(n, est)], "n_sampled_triangles long, est_triangles long"
+    )

@@ -936,3 +936,27 @@ SELECT doc_id, n_tokens, n_oov,
        CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_micro
 FROM perdoc
 """
+
+
+def event_transitions_sql() -> str:
+    """Oracle for corpus.event_transitions: LEAD over the identical
+    (ts, event_id) total order per user, exact counts, one floor division."""
+    return """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+tot AS (SELECT from_type, SUM(n_transitions) AS from_total
+        FROM pairs GROUP BY from_type)
+SELECT p.from_type, p.to_type,
+       CAST(p.n_transitions AS BIGINT) AS n_transitions,
+       CAST(p.n_transitions * 1000000 // t.from_total AS BIGINT) AS prob_micro
+FROM pairs p JOIN tot t ON p.from_type = t.from_type
+"""

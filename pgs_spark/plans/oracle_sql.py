@@ -1098,3 +1098,31 @@ FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
 GROUP BY e1.dst, e2.dst
 HAVING COUNT(*) >= {int(min_common)}
 """
+
+
+def sampled_triangles_sql(
+    canonical_edges_sql: str, keep_hex: int = 4, seed_tag: str = "t42"
+) -> str:
+    """Oracle for triangles.sampled_triangle_estimate: identical md5
+    hash-coin sample of the canonical edge set, id-ordered 3-way join
+    count, integer 1/p^3 scale-up."""
+    digits = ", ".join(f"'{c}'" for c in "0123456789abcdef"[:keep_hex])
+    return f"""
+WITH e0 AS ({canonical_edges_sql}),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0
+  WHERE SUBSTRING(MD5(CAST(src AS VARCHAR) || '|' ||
+                      CAST(dst AS VARCHAR) || '|{seed_tag}'), 1, 1)
+        IN ({digits})
+),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sampled_triangles
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.dst
+  JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT n_sampled_triangles,
+       CAST(n_sampled_triangles * {16 ** 3} // {keep_hex ** 3} AS BIGINT)
+           AS est_triangles
+FROM n
+"""

@@ -125,10 +125,94 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
-@pytest.mark.parametrize("name", ["cocitation", "coupling", "stream_join"])
+@pytest.mark.parametrize(
+    "name",
+    ["cocitation", "coupling", "stream_join", "event_transitions", "triangle_estimate"],
+)
 def test_new_gate_queries_match_oracle(spark, duck, name):
     got = _normalize(entrymod.queries()[name](spark, SF_DIR).toPandas())
     want = _normalize(duck.execute(entrymod.oracle_sql()[name]).df())
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+# ----------------------------------------------------- event transitions
+
+
+def test_event_transitions_hand_computed(spark):
+    from pgs_spark.operators.corpus import event_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, mins, uid, typ):
+        return (i, t0 + datetime.timedelta(minutes=mins), uid, typ)
+
+    events = spark.createDataFrame(
+        [
+            ev(1, 0, 1, "view"),
+            ev(2, 1, 1, "click"),
+            ev(3, 2, 1, "purchase"),
+            ev(4, 0, 2, "view"),
+            ev(5, 1, 2, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["from_type"], r["to_type"]): (r["n_transitions"], r["prob_micro"])
+        for r in event_transitions(events).collect()
+    }
+    assert out == {
+        ("view", "click"): (1, 500_000),
+        ("view", "view"): (1, 500_000),
+        ("click", "purchase"): (1, 1_000_000),
+    }
+
+
+def test_event_transitions_tie_break_on_event_id(spark):
+    from pgs_spark.operators.corpus import event_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # identical timestamps: order must follow event_id -> a, b, c exactly
+    events = spark.createDataFrame(
+        [(1, t0, 1, "a"), (2, t0, 1, "b"), (3, t0, 1, "c")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["from_type"], r["to_type"]) for r in event_transitions(events).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+# ------------------------------------------------ sampled triangle estimate
+
+
+def test_triangle_estimate_full_sample_is_exact(spark):
+    from pgs_spark.operators.triangles import sampled_triangle_estimate, triangle_count
+
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    e = edges_df(spark, k6)
+    row = sampled_triangle_estimate(spark, e, keep_hex=16).collect()[0]
+    assert row["n_sampled_triangles"] == triangle_count(spark, e) == 20
+    assert row["est_triangles"] == 20
+
+
+def test_triangle_estimate_deterministic_and_scaled(spark):
+    from pgs_spark.operators.triangles import sampled_triangle_estimate
+
+    k8 = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    e = edges_df(spark, k8)
+    r1 = sampled_triangle_estimate(spark, e, keep_hex=8).collect()[0]
+    r2 = sampled_triangle_estimate(spark, e, keep_hex=8).collect()[0]
+    assert (r1["n_sampled_triangles"], r1["est_triangles"]) == (
+        r2["n_sampled_triangles"],
+        r2["est_triangles"],
+    )
+    assert r1["est_triangles"] == r1["n_sampled_triangles"] * 4096 // 512
+
+
+def test_triangle_estimate_rejects_bad_keep_hex(spark):
+    from pgs_spark.operators.triangles import sampled_triangle_estimate
+
+    with pytest.raises(ValueError):
+        sampled_triangle_estimate(spark, edges_df(spark, [(0, 1)]), keep_hex=0)
