@@ -1818,6 +1818,16 @@ def q_triangle_estimate(spark, sf_dir):
     )
 
 
+def q_retention(spark, sf_dir):
+    """Retention cohort matrix (operators/corpus.retention_cohorts):
+    first-active-day cohorts x age-in-days, distinct-user counts and
+    floor-divided micro retained fractions — no windows, no per-user sort.
+    Oracle: docs_sql.retention_sql."""
+    from pgs_spark.operators.corpus import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 # The driver's correctness gate verifies the FIRST 50 queries() entries
 # (r1: 34, r2/r3: 50). With more queries than gate slots, ORDERING is the
 # rotation policy — and it is now AUTOMATIC (round-3 VERDICT #10): queries
@@ -1943,6 +1953,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "event_transitions": q_event_transitions,
         "triangle_estimate": q_triangle_estimate,
+        "retention": q_retention,
         "rectangles": q_rectangles,
         "louvain": q_louvain,
         "louvain_weighted": q_louvain_weighted,
@@ -2244,6 +2255,7 @@ def oracle_sql() -> dict[str, str]:
         ).densest_sql(dense, rounds=DENSEST_ROUNDS),
         "vocab_coverage": dsql.vocab_coverage_sql(vocab_size=VOCAB_SIZE),
         "event_transitions": dsql.event_transitions_sql(),
+        "retention": dsql.retention_sql(),
         "triangle_estimate": osql.sampled_triangles_sql(
             dense, keep_hex=TRI_EST_HEX
         ),

@@ -464,6 +464,50 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         lambda: mean_aggregate_features(spark, cop, rounds=2).count(),
     )
 
+    # round-5e graph ops. The DOULION estimator's pitch is PRICE: at
+    # p = 1/2 the wedge fan-out shrinks ~4x — record est vs the exact
+    # count already measured above so the error is disclosed alongside
+    # the speedup. Densest subgraph is the kcore peel re-thresholded each
+    # round; betweenness is the stress superstep with one extra integer
+    # divide per successor edge; co-citation is one wedge self-join on
+    # the sparse directed order-sequence graph.
+    from pgs_spark.operators.centrality import betweenness_from_seeds
+    from pgs_spark.operators.community import cocitation_pairs
+    from pgs_spark.operators.merge import densest_subgraph
+    from pgs_spark.operators.triangles import sampled_triangle_estimate
+    from pgs_spark.sources.tpch_graph import order_sequence_edges
+
+    est_res: dict = {}
+    timed(
+        "triangle_estimate_p50",
+        lambda: est_res.setdefault(
+            "r",
+            sampled_triangle_estimate(spark, cop, keep_hex=8).collect()[0],
+        ),
+    )
+    extra["triangle_est"] = int(est_res["r"]["est_triangles"])
+    if extra.get("triangles"):
+        extra["triangle_est_rel_err"] = round(
+            abs(extra["triangle_est"] - extra["triangles"])
+            / extra["triangles"],
+            4,
+        )
+    timed(
+        "densest_8r",
+        lambda: densest_subgraph(spark, cop, rounds=8).count(),
+    )
+    timed(
+        "betweenness_seeded",
+        lambda: betweenness_from_seeds(
+            spark, cop_sparse, seed_mod=101, max_depth=3
+        ).count(),
+    )
+    oseq0 = order_sequence_edges(spark, sf_dir, 0)
+    extra["cocitation_pairs"] = timed(
+        "cocitation",
+        lambda: cocitation_pairs(spark, oseq0, min_common=2).count(),
+    )
+
     # 4. training-data ops over documents/embeddings.
     from pgs_spark.operators.dedup import minhash_candidates
     from pgs_spark.operators.kmeans import kmeans_assign

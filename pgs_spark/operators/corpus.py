@@ -847,3 +847,54 @@ def event_transitions(
             ),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """RETENTION COHORT MATRIX — the product-analytics staple completing
+    the events family (funnel_counts, event_transitions, sessionize): users
+    are bucketed by their FIRST active day (the cohort); each later active
+    day contributes to that cohort's retention at age = days since the
+    cohort day. Row (cohort_day, age_days) counts the cohort's users active
+    exactly age_days after their first day, with the retained fraction of
+    the cohort in integer micro-units.
+
+    DETERMINISM: day bucketing is calendar truncation of the event
+    timestamp, MIN is order-free, the (user, day) DISTINCT makes each user
+    count once per (cohort, age), and retention_micro = n_users * 10^6 //
+    cohort_size is one floor division — bit-exact vs the DuckDB twin
+    (docs_sql.retention_sql).
+
+    Scale shape: one map-side-combinable MIN per user, one DISTINCT over
+    (user, day) (both shuffle on user — co-partitioned, AQE coalesces), one
+    equi-join back on user, then an aggregate over a |cohorts| x |ages|
+    result; cohort sizes are a tiny relation broadcast back. No windows,
+    nothing user-sequence-ordered, so no per-user sort at all.
+
+    Returns (cohort_day, age_days, n_users, retention_micro) with
+    cohort_day as an ISO yyyy-MM-dd string.
+    """
+    days = events.select(
+        F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    first = days.groupBy("u").agg(F.min("day").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count("*").alias("cohort_size"))
+    return (
+        days.join(first, "u")
+        .groupBy(
+            "cohort", F.datediff("day", F.col("cohort")).alias("age_days")
+        )
+        .agg(F.count("*").alias("n_users"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("age_days").cast("int"),
+            F.col("n_users").cast("long"),
+            F.expr("(n_users * 1000000) DIV cohort_size").alias(
+                "retention_micro"
+            ),
+        )
+    )

@@ -960,3 +960,24 @@ SELECT p.from_type, p.to_type,
        CAST(p.n_transitions * 1000000 // t.from_total AS BIGINT) AS prob_micro
 FROM pairs p JOIN tot t ON p.from_type = t.from_type
 """
+
+
+def retention_sql() -> str:
+    """Oracle for corpus.retention_cohorts: identical day truncation,
+    per-user MIN cohort, (user, day) DISTINCT, floor-divided micro
+    retention."""
+    return """
+WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT u, MIN(day) AS cohort FROM days GROUP BY u),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY cohort),
+cells AS (
+  SELECT f.cohort, CAST(d.day - f.cohort AS INT) AS age_days,
+         COUNT(*) AS n_users
+  FROM days d JOIN first f ON d.u = f.u
+  GROUP BY f.cohort, age_days
+)
+SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_day, c.age_days,
+       CAST(c.n_users AS BIGINT) AS n_users,
+       CAST(c.n_users * 1000000 // s.cohort_size AS BIGINT) AS retention_micro
+FROM cells c JOIN sizes s ON c.cohort = s.cohort
+"""

@@ -127,7 +127,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["cocitation", "coupling", "stream_join", "event_transitions", "triangle_estimate"],
+    ["cocitation", "coupling", "stream_join", "event_transitions", "triangle_estimate", "retention"],
 )
 def test_new_gate_queries_match_oracle(spark, duck, name):
     got = _normalize(entrymod.queries()[name](spark, SF_DIR).toPandas())
@@ -216,3 +216,39 @@ def test_triangle_estimate_rejects_bad_keep_hex(spark):
 
     with pytest.raises(ValueError):
         sampled_triangle_estimate(spark, edges_df(spark, [(0, 1)]), keep_hex=0)
+
+
+# ---------------------------------------------------------- retention cohorts
+
+
+def test_retention_hand_computed(spark):
+    from pgs_spark.operators.corpus import retention_cohorts
+
+    d = datetime.datetime
+
+    events = spark.createDataFrame(
+        [
+            # user 1: first day Jan 1, active again Jan 2 (twice) and Jan 3
+            (1, d(2024, 1, 1, 9), 1, "view"),
+            (2, d(2024, 1, 2, 9), 1, "view"),
+            (3, d(2024, 1, 2, 17), 1, "click"),
+            (4, d(2024, 1, 3, 9), 1, "view"),
+            # user 2: same cohort, never returns
+            (5, d(2024, 1, 1, 10), 2, "view"),
+            # user 3: Jan 2 cohort, returns Jan 3
+            (6, d(2024, 1, 2, 10), 3, "view"),
+            (7, d(2024, 1, 3, 10), 3, "view"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["cohort_day"], r["age_days"]): (r["n_users"], r["retention_micro"])
+        for r in retention_cohorts(events).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (2, 1_000_000),
+        ("2024-01-01", 1): (1, 500_000),
+        ("2024-01-01", 2): (1, 500_000),
+        ("2024-01-02", 0): (1, 1_000_000),
+        ("2024-01-02", 1): (1, 1_000_000),
+    }
