@@ -178,3 +178,36 @@ def test_round5c_operators_have_no_cartesian_on_data(spark):
         assert "CartesianProduct" not in plan, q.__name__
         n_nl = plan.count("BroadcastNestedLoopJoin Cross")
         assert n_nl <= n_scalar_max, (q.__name__, n_nl, plan[:500])
+
+
+def test_round5e_operators_have_no_cartesian_on_data(spark):
+    """cocitation / coupling / event_transitions / retention /
+    vocab_coverage / betweenness: no CartesianProduct over data-sized
+    relations; BroadcastNestedLoopJoin only as 1-row scalar attaches.
+    (densest and triangle_estimate drive driver-side scalars between jobs,
+    so their returned relation is a literal — covered by oracle parity.)"""
+    import __spark_entry__ as entry
+    from pgs_spark.plans.explain import plan_string
+
+    for q, n_scalar_max in (
+        (entry.q_cocitation, 0),  # one self-equi-join + groupBy
+        (entry.q_coupling, 0),
+        (entry.q_event_transitions, 0),  # window + equi-join
+        (entry.q_retention, 0),  # two aggs + two equi-joins
+        (entry.q_vocab_coverage, 0),  # TakeOrdered vocab + broadcast join
+        (entry.q_betweenness, 0),  # level equi-joins only
+    ):
+        plan = plan_string(q(spark, SF))
+        assert "CartesianProduct" not in plan, q.__name__
+        n_nl = plan.count("BroadcastNestedLoopJoin Cross")
+        assert n_nl <= n_scalar_max, (q.__name__, n_nl, plan[:500])
+
+
+def test_retention_broadcasts_cohort_sizes(spark):
+    """The cohort-size attach must be a broadcast join (tiny |cohorts|-row
+    relation), never a shuffle of the data-sized side."""
+    import __spark_entry__ as entry
+    from pgs_spark.plans.explain import plan_string
+
+    plan = plan_string(entry.q_retention(spark, SF))
+    assert "BroadcastHashJoin" in plan
