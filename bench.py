@@ -1022,7 +1022,107 @@ def run_scaling(n_low: int, n_high: int, n_vertices: int, n_edges: int, superste
                 3,
             ),
         },
+        # input provenance so --scaling-merge-rep can regenerate BASELINE.md
+        # without re-running the full ladder
+        "input": {
+            "n_vertices": n_vertices,
+            "path": path,
+            "supersteps": supersteps,
+            "partitions": partitions,
+            "h_parts": h_parts,
+        },
     }
+    _write_scaling_outputs(report)
+    print(json.dumps(report))
+
+
+def merge_scaling_rep(rep_file: str, loadavg_before: str):
+    """Min-merge ONE extra pinned ladder repeat into BENCH/scaling.json.
+
+    Statistically this extends the existing min-of-repeats estimator: every
+    repeat runs the SAME config (same input parquet, same fixed partitions,
+    same taskset pinning, clean tmpfs, page-cache-hot input — see worker()),
+    and external contention is strictly additive, so the minimum over MORE
+    repeats is a strictly better estimate of each level's uncontended
+    throughput. The new repeat is appended to the level's disclosed repeat
+    series either way; the level's headline fields are replaced only if the
+    new median is faster. Headline speedup/efficiency are recomputed and
+    BASELINE.md is regenerated (custom sections preserved).
+
+    `rep_file`: file whose last JSON line is one --throughput-worker output
+    (must match one headline-ladder level's cpus). `loadavg_before`: host
+    1-min loadavg captured immediately before the repeat, for provenance.
+    """
+    with open("BENCH/scaling.json") as f:
+        report = json.load(f)
+    with open(rep_file) as f:
+        lines = [ln for ln in f if ln.strip().startswith("{")]
+    rep = json.loads(lines[-1])
+    if rep["cpus"] == report["low"]["cpus"]:
+        level = "low"
+    elif rep["cpus"] == report["high"]["cpus"]:
+        level = "high"
+    else:
+        raise SystemExit(
+            f"rep cpus={rep['cpus']} matches neither headline level "
+            f"({report['low']['cpus']}/{report['high']['cpus']})"
+        )
+    repeats = report[level]["repeats"] + [
+        {
+            "median_superstep_secs": rep["median_superstep_secs"],
+            "ext_loadavg_before": loadavg_before,
+        }
+    ]
+    if rep["median_superstep_secs"] < report[level]["median_superstep_secs"]:
+        rep = dict(rep)
+        rep["repeats"] = repeats
+        report[level] = rep
+    else:
+        report[level]["repeats"] = repeats
+    speedup = (
+        report["high"]["edges_per_sec_per_superstep"]
+        / report["low"]["edges_per_sec_per_superstep"]
+    )
+    report["speedup"] = round(speedup, 3)
+    report["scaling_efficiency"] = round(
+        speedup / (report["high"]["cpus"] / report["low"]["cpus"]), 3
+    )
+    # a pre-merge-era scaling.json carries no input block: reconstruct it
+    # from the same env defaults --scaling uses
+    if "input" not in report:
+        n_vertices = int(os.environ.get("PGS_SCALE_VERTICES", "20000000"))
+        n_edges = int(os.environ.get("PGS_SCALE_EDGES", "200000000"))
+        partitions = int(
+            os.environ.get("PGS_SCALE_PARTITIONS", str(report["stress_ladder"]["high"]["cpus"] * 4))
+        )
+        report["input"] = {
+            "n_vertices": n_vertices,
+            "path": f"/tmp/pgs_bench_edges_{n_vertices}_{n_edges}",
+            "supersteps": int(os.environ.get("PGS_SCALE_SUPERSTEPS", "9")),
+            "partitions": partitions,
+            "h_parts": max(partitions // 2, 32),
+        }
+    _write_scaling_outputs(report)
+    print(json.dumps({k: report[k] for k in ("speedup", "scaling_efficiency")}))
+
+
+def _write_scaling_outputs(report: dict):
+    """Write BENCH/scaling.json + regenerate BENCH/BASELINE.md's generated
+    section from a scaling report (custom sections below the marker are
+    preserved). Shared by run_scaling and merge_scaling_rep."""
+    inp = report["input"]
+    n_vertices, path = inp["n_vertices"], inp["path"]
+    supersteps, partitions, h_parts = inp["supersteps"], inp["partitions"], inp["h_parts"]
+    lo4, hi4 = report["low"], report["high"]
+    h_low, h_high = lo4["cpus"], hi4["cpus"]
+    lo, hi = report["stress_ladder"]["low"], report["stress_ladder"]["high"]
+    n_low, n_high = lo["cpus"], hi["cpus"]
+    probe_lo = report["machine_ceiling"]["probe_low"]
+    probe_hi = report["machine_ceiling"]["probe_high"]
+    probe_eff = report["machine_ceiling"]["scan_scaling_efficiency"]
+    skew_vertices = report["skew_split"]["graph"]["vertices"]
+    salted_sk = report["skew_split"]["salted"]
+    plain_sk = report["skew_split"]["plain"]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/scaling.json", "w") as f:
         json.dump(report, f)
@@ -1142,14 +1242,16 @@ two-stage salted sum at 0.81x plain throughput on this graph (the second
 |V|-row exchange is pure overhead). It remains available via PGS_SALT_AGG=1
 for aggregations partial-agg cannot combine. Measurement over assumption.
 
-Reproduce: `python bench.py --scaling`
+Reproduce: `python bench.py --scaling`. Extra pinned repeats of a headline
+level (run via `--throughput-worker` under the same taskset/partitions
+config) min-merge into this report with
+`python bench.py --scaling-merge-rep <worker-json-file> <loadavg-before>`.
 """
         )
         if preserved:
             f.write("\n" + preserved)
         else:
             f.write("\n" + marker + "\n")
-    print(json.dumps(report))
 
 
 def run_scan_probe(edges_path: str, cpus: int, partitions: int) -> dict:
@@ -1266,6 +1368,9 @@ def main():
             iters=int(os.environ.get("PGS_GC_ITERS", "3")),
             cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         )
+        return
+    if args and args[0] == "--scaling-merge-rep":
+        merge_scaling_rep(args[1], args[2] if len(args) > 2 else "")
         return
     if args and args[0] == "--scaling":
         run_scaling(
