@@ -225,6 +225,8 @@ def betweenness_from_seeds(
     """
     from pgs_spark.operators.state import make_work_dir, snapshot
 
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
     work_dir = make_work_dir("pgs_btw_")
     sym = symmetrize(
         undirected_edges.select("src", "dst")

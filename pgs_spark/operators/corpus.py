@@ -745,6 +745,7 @@ def vocab_coverage(
     vocab_size: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tok_out: list | None = None,
 ) -> DataFrame:
     """Tokenizer-vocabulary coverage: build the top-``vocab_size`` token
     vocabulary by corpus frequency (ties broken by token ascending — the
@@ -769,9 +770,16 @@ def vocab_coverage(
     """
     from pyspark.sql.functions import broadcast
 
+    # The exploded token relation feeds both the vocabulary cut and the
+    # per-doc scoring join. One-shot callers let the session reap the cache;
+    # LONG-LIVED sessions pass `tok_out` to receive the persisted DataFrame
+    # and unpersist it once the result is materialized (the triangles()
+    # ori_out discipline — otherwise every call leaks a corpus-sized cache).
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).persist()
+    if tok_out is not None:
+        tok_out.append(tok)
     counts = tok.groupBy("term").agg(F.count("*").alias("c"))
     vocab = (
         counts.orderBy(F.desc("c"), F.asc("term"))

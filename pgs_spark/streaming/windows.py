@@ -327,6 +327,17 @@ def streaming_attribution_join(
     per partition; the join keys hash-partition both sides identically so
     matching rows co-locate without a broadcast.
 
+    SINGLE-BATCH ASSUMPTION: exact equality with the batch self-join twin
+    holds when the availableNow drain admits all input in ONE micro-batch
+    (the gate fixture's shape — one parquet file, default admission
+    limits). If the file source split the input across micro-batches AND
+    part files arrived out of event-time order, the 2x-window watermark
+    could drop late rows from either join side and the drained result
+    would undercount vs the twin. Callers replaying multi-file input in
+    this mode must ingest files in event-time order or widen/remove the
+    watermark for the drain (state stays bounded by availableNow either
+    way).
+
     Returns (user_id, n_attributed, attributed_cents).
     """
     import os
