@@ -73,3 +73,28 @@ def test_fixed_rounds_prefix_of_convergent_run(spark):
         adj.setdefault(b, set()).add(a)
     want = {(a, b) for a, b in edges if len(adj[a] & adj[b]) >= 1}
     assert got == want
+
+
+@pytest.mark.parametrize("k", [3, 5])
+def test_incremental_equals_full_recount(spark, k):
+    """The round-6 optimization: incrementally maintained support must
+    reproduce the full re-enumeration path edge-for-edge and
+    round-for-round (forcing small inc_frac so incremental rounds engage)."""
+    import os
+
+    pairs = random_graph(70, 0.15, seed=7 + k)
+    df = edges_df(spark, pairs)
+    old = os.environ.get("PGS_TRUSS_INC_FRAC")
+    os.environ["PGS_TRUSS_INC_FRAC"] = "1.0"  # every round after 1 incremental
+    try:
+        inc = ktruss(spark, df, k=k)
+    finally:
+        if old is None:
+            os.environ.pop("PGS_TRUSS_INC_FRAC", None)
+        else:
+            os.environ["PGS_TRUSS_INC_FRAC"] = old
+    full = ktruss(spark, df, k=k, full_recount=True)
+    assert _edges(inc) == _edges(full)
+    assert inc.rounds == full.rounds
+    assert inc.converged == full.converged
+    assert [h["edges"] for h in inc.history] == [h["edges"] for h in full.history]
