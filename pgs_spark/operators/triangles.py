@@ -52,18 +52,68 @@ def triangles(
     closing semi-join). One-shot callers let the session reap it; ITERATIVE
     callers (operators/truss.py peels per round) pass `ori_out` to receive
     the persisted DataFrame and unpersist it once the round's result is
-    materialized — otherwise every round leaks a cached relation."""
+    materialized — otherwise every round leaks a cached relation.
+
+    SCALE-ADAPTIVE WEDGE WIDTH (guide §2.2/§5): the wedge self-join emits
+    Σ out-deg² rows — 10× the input at a FIXED partition count guarantees
+    the wedge shuffle crosses the spill threshold (the measured sf1
+    triangle_count superlinearity). Above PGS_TRI_ADAPT_MIN oriented edges
+    (default 4M; sf0.1-scale graphs keep the exact round-5 plan, zero extra
+    jobs) the oriented table is counted, Σ out-deg² is estimated with one
+    aggregate over the persisted relation, and both wedge-join inputs and
+    the wedge→closing semi-join are explicitly hash-partitioned so each
+    task holds ~PGS_TRI_ROWS_PER_PART wedge rows (default 2M ≈ 50 MB)
+    instead of |wedges|/session-width. The repartitions do not add
+    exchanges — they widen the exchanges those joins already require."""
+    import os
+
     und = canonicalize(edges)
     ori = _oriented(und).persist()
     if ori_out is not None:
         ori_out.append(ori)
     e1 = ori.select(F.col("a"), F.col("b").alias("v"), F.col("db").alias("dv"))
     e2 = ori.select(F.col("a"), F.col("b").alias("w"), F.col("db").alias("dw"))
+    adapt_min = int(os.environ.get("PGS_TRI_ADAPT_MIN", "4000000"))
+    rows_per_part = int(os.environ.get("PGS_TRI_ROWS_PER_PART", "2000000"))
+    wedge_parts = None
+    # Cheap small-graph fast path: when the optimizer can already bound the
+    # input below the adaptive threshold (cached/scanned inputs have real
+    # stats), skip the sizing jobs entirely — the round-5 plan is unchanged
+    # and no extra action runs. Unknown stats (Long.Max default) fall
+    # through to the exact count, which materializes the persisted `ori`
+    # that every consumer needs anyway.
+    try:
+        est_bytes = int(
+            und._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est_bytes = None
+    m_ori = adapt_min if est_bytes is None or est_bytes > 16 * adapt_min else 0
+    if m_ori >= adapt_min:
+        m_ori = ori.count()
+    if m_ori >= adapt_min:
+        default_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        est_wedges = int(
+            ori.groupBy("a").agg(F.count("*").alias("od"))
+            .agg(F.sum(F.col("od") * F.col("od")))
+            .first()[0]
+            or 0
+        )
+        wedge_parts = min(4096, max(default_p, est_wedges // rows_per_part))
+        # BOTH inputs of each join are repartitioned explicitly: with only
+        # one side widened, EnsureRequirements inserts its own
+        # session-width exchange on top (measured: the semi join re-shuffled
+        # 3.5 GB of wedges back to 32 partitions and spilled 12 GB anyway).
+        e1 = e1.repartition(wedge_parts, "a")
+        e2 = e2.repartition(wedge_parts, "a")
     wedges = e1.join(e2, "a").filter(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
     closing = ori.select(F.col("a").alias("v"), F.col("b").alias("w"))
+    if wedge_parts is not None:
+        wedges = wedges.repartition(wedge_parts, "v", "w")
+        closing = closing.repartition(wedge_parts, "v", "w")
     tri = wedges.join(closing, ["v", "w"], "left_semi").select(
         F.col("a").alias("x"), F.col("v").alias("y"), F.col("w").alias("z")
     )
@@ -76,12 +126,14 @@ def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
 
 
 def triangle_counts_per_vertex(spark: SparkSession, edges: DataFrame) -> DataFrame:
-    """(id, n_triangles) — every corner of every triangle credited once."""
+    """(id, n_triangles) — every corner of every triangle credited once.
+
+    Corners come from ONE explode pass over the triangle stream; a 3-way
+    union of selects over `tri` would inline the wedge-join pipeline three
+    times (ReuseExchange dedupes only the exchanges, not the join work)."""
     tri = triangles(spark, edges)
-    corners = (
-        tri.select(F.col("x").alias("id"))
-        .union(tri.select(F.col("y").alias("id")))
-        .union(tri.select(F.col("z").alias("id")))
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
     )
     return corners.groupBy("id").agg(F.count("*").alias("n_triangles"))
 
