@@ -48,49 +48,60 @@ def hits(
 
     Vertices with no out-edges carry hub 0; no in-edges carry auth 0 —
     COALESCE(0) after the gather, exactly as the oracle does."""
-    e = directed_edges.select("src", "dst").distinct().persist()
-    verts = (
-        e.select(F.col("src").alias("id"))
-        .union(e.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    work_dir = make_work_dir("pgs_hits_")
-    hub = snapshot(verts.select("id", F.lit(1.0).alias("hub")), work_dir, "h_0")
+    import math
 
+    from pyspark.sql import Observation
+
+    e = directed_edges.select("src", "dst").distinct().persist()
+    work_dir = make_work_dir("pgs_hits_")
+
+    # Round-6 half-step shape: ONE job per half-step. The gather writes the
+    # RAW score relation (only vertices actually gathered — missing rows are
+    # exact zeros that contribute nothing to the next gather and are filled
+    # at the output join), the L2 norm rides the write via observe(), and
+    # normalization is applied LAZILY as raw/norm when the next half-step
+    # (or the output) reads the snapshot back. Per element the float ops are
+    # identical to materializing the normalized score first (each raw value
+    # divided by the same norm, then summed), so the 6dp-rounded output is
+    # unchanged; the previous shape computed every gather twice (once for
+    # the norm aggregate, once for the score join) and re-joined the |V|
+    # vertex relation into every half-step.
+    def _gather(prev_scores, key_in, key_out, col):
+        obs = Observation()
+        raw = (
+            e.join(prev_scores, F.col(key_in) == prev_scores.id)
+            .groupBy(F.col(key_out).alias("id"))
+            .agg(F.sum("s").alias("raw"))
+            .observe(obs, F.sum(F.col("raw") * F.col("raw")).alias("ss"))
+        )
+        snap = snapshot(raw, work_dir, col)
+        norm = math.sqrt(float(obs.get["ss"] or 0.0))
+        return snap.select("id", (F.col("raw") / F.lit(norm)).alias("s")), snap, norm
+
+    hub = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct().select("id", F.lit(1.0).alias("s"))
     for i in range(1, fixed_iterations + 1):
         # auth half-step: gather hub mass along edges, L2-normalize
-        a_raw = (
-            e.join(hub, e.src == hub.id)
-            .groupBy(e.dst.alias("id"))
-            .agg(F.sum("hub").alias("a"))
-        )
-        a_norm = a_raw.agg(F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("_na"))
-        auth = snapshot(
-            verts.join(a_raw, "id", "left")
-            .crossJoin(a_norm)
-            .select("id", (F.coalesce(F.col("a"), F.lit(0.0)) / F.col("_na")).alias("auth")),
-            work_dir,
-            f"a_{i % 2}",
-        )
+        auth, a_snap, na = _gather(hub, "src", "dst", f"a_{i % 2}")
         # hub half-step: scatter back along edges, L2-normalize
-        h_raw = (
-            e.join(auth, e.dst == auth.id)
-            .groupBy(e.src.alias("id"))
-            .agg(F.sum("auth").alias("h"))
-        )
-        h_norm = h_raw.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("_nh"))
-        hub = snapshot(
-            verts.join(h_raw, "id", "left")
-            .crossJoin(h_norm)
-            .select("id", (F.coalesce(F.col("h"), F.lit(0.0)) / F.col("_nh")).alias("hub")),
-            work_dir,
-            f"h_{i % 2}",
-        )
+        hub, h_snap, nh = _gather(auth, "dst", "src", f"h_{i % 2}")
 
-    out = hub.join(auth, "id").select(
-        "id",
-        F.round("hub", round_to).alias("hub_r"),
-        F.round("auth", round_to).alias("auth_r"),
+    # Every vertex with out-edges appears in the hub snapshot and every one
+    # with in-edges in the auth snapshot, so their full-outer join IS the
+    # vertex set — no re-derivation from the (unpersisted) edge table.
+    out = (
+        h_snap.select("id", F.col("raw").alias("h"))
+        .join(a_snap.select("id", F.col("raw").alias("a")), "id", "full_outer")
+        .select(
+            "id",
+            F.round(F.coalesce(F.col("h"), F.lit(0.0)) / F.lit(nh), round_to).alias(
+                "hub_r"
+            ),
+            F.round(F.coalesce(F.col("a"), F.lit(0.0)) / F.lit(na), round_to).alias(
+                "auth_r"
+            ),
+        )
     )
     e.unpersist()
     return out
