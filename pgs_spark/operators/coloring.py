@@ -161,43 +161,50 @@ def jones_plassmann(
         for r in range(start_round + 1, limit + 1):
             if resumed_converged:
                 break
-            unc_ids = verts.select("id").join(colored, "id", "left_anti")
+            # Round state (colored, and everything derived from it) is a
+            # localCheckpointed LogicalRDD with NO size statistics — the
+            # planner estimates it at defaultSizeInBytes and plans every
+            # state join as SortMergeJoin (Exchange + Sort over the edge
+            # relation EVERY round, measured in the round plan). Under the
+            # same small-graph threshold that picks localCheckpoint state,
+            # hint the ≤|V|-row sides broadcast; at cluster scale (parquet
+            # state) the joins keep their shuffle plans.
+            _b = F.broadcast if use_local else (lambda df: df)
+            unc_ids = verts.select("id").join(_b(colored), "id", "left_anti")
             # ONE pass over sym_p: higher-priority-neighbor edges of uncolored
             # vertices, each tagged with the neighbor's color (null = uncolored).
             # blocked and used are two filters of this shared relation.
             hi = (
                 sym_p.filter(_outranks(F.col("pd"), F.col("dst"), F.col("ps"), F.col("src")))
                 .join(unc_ids.withColumnRenamed("id", "src"), "src", "left_semi")
-                .join(colored.select(F.col("id").alias("dst"), "color"), "dst", "left")
+                .join(_b(colored.select(F.col("id").alias("dst"), "color")), "dst", "left")
                 .select(F.col("src").alias("id"), "color")
                 .persist()
             )
             # no distinct: blocked only ever feeds an anti-join, dupes are free
             blocked = hi.filter(F.col("color").isNull()).select("id")
-            ready = unc_ids.join(blocked, "id", "left_anti")
+            ready = unc_ids.join(_b(blocked), "id", "left_anti")
             # colors already taken among higher-priority neighbors (for ready
             # vertices all such neighbors are colored, by induction; rows for
-            # blocked vertices are carried but never join the mex candidates).
-            # No distinct: the anti-join below ignores dupes, and the candidate
-            # bound uses countDistinct — one aggregate instead of dedup+count.
+            # blocked vertices are carried but never join ready below).
+            # mex in ONE aggregate: collect the distinct used colors per
+            # vertex, sort, and walk the sorted array with an aggregate HOF —
+            # the length of the [0,1,2,…] prefix IS the smallest absent
+            # color. Replaces the round-5 candidate-explode + anti-join +
+            # second groupBy (two more shuffles + a join per round) with one
+            # shuffle; identical colors (same mex), array size bounded by
+            # vertex degree exactly like the old candidate set.
             used = hi.filter(F.col("color").isNotNull())
-            ucnt = used.groupBy("id").agg(F.count_distinct("color").alias("nu"))
-            # mex: n_used+1 candidates always contain the answer
-            cand = (
-                ready.join(ucnt, "id", "left")
-                .select(
-                    "id",
-                    F.explode(
-                        F.sequence(F.lit(0), F.coalesce(F.col("nu"), F.lit(0)))
-                    ).alias("c"),
-                )
+            used_sets = used.groupBy("id").agg(
+                F.array_sort(F.collect_set("color")).alias("us")
             )
-            new = (
-                cand.join(
-                    used, (cand.id == used.id) & (cand.c == used.color), "left_anti"
-                )
-                .groupBy("id")
-                .agg(F.min("c").cast("long").alias("color"))
+            mex = F.aggregate(
+                F.coalesce(F.col("us"), F.array().cast("array<long>")),
+                F.lit(0).cast("long"),
+                lambda acc, x: F.when(x == acc, acc + F.lit(1).cast("long")).otherwise(acc),
+            )
+            new = ready.join(_b(used_sets), "id", "left").select(
+                "id", mex.alias("color")
             )
             if cp is not None:
                 from pyspark.sql import Observation
@@ -222,19 +229,30 @@ def jones_plassmann(
                 if fixed_rounds is None and n_colored >= n:
                     break
                 continue
-            colored = _snap(colored.union(new), f"colored_{r % 2}")
-            hi.unpersist()
-            rounds = r
-            if fixed_rounds is None and (r % 2 == 0 or r >= limit):
-                # convergence test costs one count job — every 2nd round only
-                # (the worst case is one extra no-op round, which is cheap:
-                # an empty uncolored set makes every per-round relation empty);
-                # skipped entirely in fixed-round (oracle) mode, where the round
-                # count is the program
-                n_colored = colored.count()
+            if fixed_rounds is None:
+                # convergence rides the round's OWN materialization through
+                # observe() (works for localCheckpoint and parquet snapshots
+                # alike) — zero extra jobs, vs the every-2nd-round count job
+                # this replaces; exact same colors, convergence now detected
+                # the round it happens. Skipped in fixed-round (oracle) mode,
+                # where the round count is the program.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                colored = _snap(
+                    colored.union(new).observe(obs, F.count(F.lit(1)).alias("n")),
+                    f"colored_{r % 2}",
+                )
+                hi.unpersist()
+                rounds = r
+                n_colored = int(obs.get["n"] or 0)
                 history.append({"round": r, "colored": n_colored})
                 if n_colored >= n:
                     break
+            else:
+                colored = _snap(colored.union(new), f"colored_{r % 2}")
+                hi.unpersist()
+                rounds = r
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_p)
     if fixed_rounds is not None:

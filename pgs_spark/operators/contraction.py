@@ -141,9 +141,28 @@ def merge_to_k(
         for r in range(start_round + 1, limit + 1):
             if fixed_rounds is None and n_groups <= k:
                 break
+            # Round state is localCheckpointed (no size stats → planner
+            # estimates defaultSizeInBytes), so every join of the BIG
+            # group-edge relation against the TINY group-level tables
+            # (sizes/cand/targets/mapping, all ≤ n_groups rows) planned as
+            # SortMergeJoin — shuffling the 2|E|-row gsym twice per round
+            # (measured: 3-7s per checkpoint at sf0.1). Under the same
+            # small-graph threshold that picks localCheckpoint state, hint
+            # the group-level side broadcast; parquet-state scale keeps the
+            # shuffle plans.
+            _b = F.broadcast if use_local else (lambda df: df)
             sizes = groups.groupBy("g").agg(F.count("*").alias("sz"))
+            if use_local:
+                # materialize the ≤n_groups-row table once (persist, NOT a
+                # localCheckpoint — 4 chained checkpoints/round hit the
+                # geometric plan-degradation trap layout.py documents): it
+                # feeds four consumers across this round's jobs (two adj
+                # joins, cand, mapping) and several are broadcast builds —
+                # without this, each build re-runs the groupBy subtree
+                sizes = sizes.persist()
+                sizes.count()
             keep = sizes.orderBy(F.col("sz").desc(), F.col("g").desc()).limit(k)
-            cand = sizes.join(keep.select("g"), "g", "left_anti")
+            cand = sizes.join(_b(keep.select("g")), "g", "left_anti")
             # group-level adjacency, both directions, with sizes on both
             # sides (gedges is canonical loop-free — maintained below; no
             # distinct: the per-group struct-MIN below is dup-insensitive)
@@ -151,11 +170,11 @@ def merge_to_k(
                 gedges.select(F.col("gb").alias("ga"), F.col("ga").alias("gb"))
             )
             adj = (
-                gsym.join(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza")), "ga")
-                .join(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb")), "gb")
+                gsym.join(_b(sizes.select(F.col("g").alias("ga"), F.col("sz").alias("sza"))), "ga")
+                .join(_b(sizes.select(F.col("g").alias("gb"), F.col("sz").alias("szb"))), "gb")
             )
             targets = (
-                adj.join(cand.select(F.col("g").alias("ga")), "ga", "left_semi")
+                adj.join(_b(cand.select(F.col("g").alias("ga"))), "ga", "left_semi")
                 .filter(
                     (F.col("szb") > F.col("sza"))
                     | ((F.col("szb") == F.col("sza")) & (F.col("gb") > F.col("ga")))
@@ -165,22 +184,33 @@ def merge_to_k(
                 .select(F.col("ga").alias("g"), F.col("t.gb").alias("tgt"))
             )
             # total mapping with identity default, then J pointer jumps
-            mapping = sizes.select("g").join(targets, "g", "left").select(
+            mapping = sizes.select("g").join(_b(targets), "g", "left").select(
                 "g", F.coalesce("tgt", F.col("g")).alias("tgt")
             )
             for _ in range(jumps):
                 nxt = mapping.select(F.col("g").alias("tgt"), F.col("tgt").alias("tgt2"))
-                mapping = mapping.join(nxt, "tgt").select(
+                mapping = mapping.join(_b(nxt), "tgt").select(
                     "g", F.col("tgt2").alias("tgt")
                 )
-            new_groups = groups.join(mapping, groups.g == mapping.g).select(
-                "id", F.col("tgt").alias("g")
-            )
+            if use_local:
+                # the resolved mapping feeds three broadcast builds (groups
+                # relabel, ma, mb) — materialize its subtree (which contains
+                # the full adj aggregation) exactly once
+                mapping = mapping.persist()
+                mapping.count()
+            # explicit rename, not `groups.g == mapping.g`: once both sides
+            # are checkpointed their `g` attributes share an exprId and the
+            # qualified condition degenerates to a trivially-true predicate
+            # (cross join) — the rename keeps the equi-join unambiguous
+            new_groups = groups.join(
+                _b(mapping.select(F.col("g").alias("mg"), "tgt")),
+                F.col("g") == F.col("mg"),
+            ).select("id", F.col("tgt").alias("g"))
             ma = mapping.select(F.col("g").alias("ga"), F.col("tgt").alias("ta"))
             mb = mapping.select(F.col("g").alias("gb"), F.col("tgt").alias("tb"))
             new_gedges = (
-                gedges.join(ma, "ga")
-                .join(mb, "gb")
+                gedges.join(_b(ma), "ga")
+                .join(_b(mb), "gb")
                 .select(
                     F.least("ta", "tb").alias("ga"),
                     F.greatest("ta", "tb").alias("gb"),
@@ -213,6 +243,9 @@ def merge_to_k(
                     # stop test costs one distinct-count per round — skipped
                     # in fixed-round (oracle) mode
                     n_groups = groups.select("g").distinct().count()
+            if use_local:
+                sizes.unpersist()
+                mapping.unpersist()
             rounds = r
             if fixed_rounds is None:
                 history.append({"round": r, "n_groups": n_groups})

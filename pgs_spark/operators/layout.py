@@ -202,90 +202,113 @@ def fr_layout(
     return LayoutResult(pos, done_it, history)
 
 
+def _fr_iteration_sql(k: float, r_cut: float, t: float, width: float) -> str:
+    """One FR superstep as a single SQL text over the temp views
+    ``__pgs_fr_pos`` / ``__pgs_fr_sym``.
+
+    Why SQL text instead of the DataFrame API: building this plan through
+    py4j Column calls cost a measured 0.35–0.45s of DRIVER time per
+    superstep (hundreds of JVM round-trips) — more than the plan takes to
+    EXECUTE on the gate/bench graphs; one spark.sql() call parses the same
+    tree JVM-side in ~0.1s. Literals ride in as CAST('repr' AS DOUBLE)
+    (constant-folded, exact repr round-trip) so the resolved expression tree
+    is bit-identical to the old Column build — verified exact on the bench
+    graph (Σx equal at DECIMAL(30,18)) and green vs the DuckDB oracle.
+
+    Repulsion pair enumeration is split to halve the join work without
+    touching the hot-cell worst case:
+      * same-cell pairs: a direct cells⋈cells self-join (no probe explode,
+        no credit explode) enumerated BOTH directions exactly as round 5 —
+        an adversarial clump (all points in one cell) pays the identical
+        per-pair cost it already paid;
+      * cross-cell pairs: probe only the 4 HALF-PLANE neighbor offsets
+        (each unordered pair found once instead of twice) and credit both
+        endpoints via a 2-row explode. Contribution values are bit-identical
+        to two-sided enumeration (IEEE sub/neg are exact: (b−a)=−(a−b), d²
+        equal, −(Δ·k²/d²)=(−Δ)·k²/d²), so the per-id sum multiset — and the
+        6dp-rounded output — is unchanged while the probe side shrinks from
+        9 to 5 cell lookups per point.
+    Repulsion + attraction still UNION into one groupBy (one shuffle per
+    superstep); the oracle mirrors the same summation tree.
+    """
+    K = f"CAST('{k!r}' AS DOUBLE)"
+    K2 = f"CAST('{(k * k)!r}' AS DOUBLE)"
+    RC = f"CAST('{r_cut!r}' AS DOUBLE)"
+    RC2 = f"CAST('{(r_cut * r_cut)!r}' AS DOUBLE)"
+    T = f"CAST('{t!r}' AS DOUBLE)"
+    W = f"CAST('{width!r}' AS DOUBLE)"
+    d2 = (
+        "greatest((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y), "
+        f"CAST('{_EPS_D2!r}' AS DOUBLE))"
+    )
+    ad = "sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y))"
+    dlen = "sqrt(dx*dx + dy*dy)"
+    return f"""
+WITH cells AS (SELECT id, x, y, floor(x / {RC}) AS cx, floor(y / {RC}) AS cy
+  FROM __pgs_fr_pos),
+rep_same AS (
+  SELECT a.id,
+         (a.x - b.x) * {K2} / {d2} AS fx,
+         (a.y - b.y) * {K2} / {d2} AS fy
+  FROM cells a JOIN cells b
+    ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
+  WHERE {d2} < {RC2}),
+probe4 AS (
+  SELECT id, x, y, c.cx, c.cy FROM cells
+  LATERAL VIEW explode(array(
+    struct(cx + 1L AS cx, cy + 0L AS cy),
+    struct(cx - 1L AS cx, cy + 1L AS cy),
+    struct(cx + 0L AS cx, cy + 1L AS cy),
+    struct(cx + 1L AS cx, cy + 1L AS cy))) pc AS c),
+cross_pairs AS (
+  SELECT a.id, b.id AS oid,
+         (a.x - b.x) * {K2} / {d2} AS fx,
+         (a.y - b.y) * {K2} / {d2} AS fy
+  FROM probe4 a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+  WHERE {d2} < {RC2}),
+rep_cross AS (
+  SELECT s.id, s.fx, s.fy FROM cross_pairs
+  LATERAL VIEW explode(array(
+    struct(id AS id, fx AS fx, fy AS fy),
+    struct(oid AS id, -fx AS fx, -fy AS fy))) rc AS s),
+att AS (
+  SELECT s.src AS id,
+         -(a.x - b.x) * {ad} / {K} AS fx,
+         -(a.y - b.y) * {ad} / {K} AS fy
+  FROM __pgs_fr_sym s
+  JOIN __pgs_fr_pos a ON s.src = a.id
+  JOIN __pgs_fr_pos b ON s.dst = b.id),
+disp AS (
+  SELECT id, SUM(fx) AS dx, SUM(fy) AS dy FROM
+    (SELECT * FROM rep_same UNION ALL SELECT * FROM rep_cross
+     UNION ALL SELECT * FROM att)
+  GROUP BY id),
+moved AS (
+  SELECT p.id, p.x, p.y,
+         COALESCE(d.dx, CAST(0.0 AS DOUBLE)) AS dx,
+         COALESCE(d.dy, CAST(0.0 AS DOUBLE)) AS dy
+  FROM __pgs_fr_pos p LEFT JOIN disp d ON p.id = d.id)
+SELECT id,
+  least(greatest(x + dx * (CASE WHEN {dlen} > {T} THEN {T} / {dlen}
+    ELSE CAST(1.0 AS DOUBLE) END), CAST(0.0 AS DOUBLE)), {W}) AS x,
+  least(greatest(y + dy * (CASE WHEN {dlen} > {T} THEN {T} / {dlen}
+    ELSE CAST(1.0 AS DOUBLE) END), CAST(0.0 AS DOUBLE)), {W}) AS y
+FROM moved
+"""
+
+
 def _fr_iteration(
     sym: DataFrame, pos: DataFrame, k: float, r_cut: float, t: float, width: float
 ) -> DataFrame:
     """One FR superstep (pure plan — exposed so tests can assert the
-    repulsion join never degrades to a CartesianProduct).
-
-    Repulsion and attraction contributions UNION into one (id, fx, fy)
-    relation summed by a single groupBy — one shuffle + one join per
-    superstep instead of two of each (the driver-loop-latency recipe; the
-    oracle mirrors the same summation tree)."""
-    k2 = k * k
-    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    cells = pos.select(
-        "id", "x", "y",
-        F.floor(F.col("x") / r_cut).alias("cx"),
-        F.floor(F.col("y") / r_cut).alias("cy"),
-    )
-    probe = cells.select(
-        "id", "x", "y",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    (F.col("cx") + dx).alias("cx"),
-                    (F.col("cy") + dy).alias("cy"),
-                )
-                for dx, dy in offsets
-            ])
-        ).alias("c"),
-    ).select("id", "x", "y", "c.cx", "c.cy")
-    other = cells.select(
-        F.col("id").alias("oid"), F.col("x").alias("ox"),
-        F.col("y").alias("oy"), "cx", "cy",
-    )
-    dx_ = F.col("x") - F.col("ox")
-    dy_ = F.col("y") - F.col("oy")
-    d2 = F.greatest(dx_ * dx_ + dy_ * dy_, F.lit(_EPS_D2))
-    rep_rows = (
-        probe.join(other, ["cx", "cy"])
-        .filter(F.col("id") != F.col("oid"))
-        .filter(d2 < F.lit(r_cut * r_cut))
-        .select(
-            "id",
-            (dx_ * F.lit(k2) / d2).alias("fx"),
-            (dy_ * F.lit(k2) / d2).alias("fy"),
-        )
-    )
-    # attraction: each dart (u, v) pulls u toward v by Δ·d/k
-    # (= unit(Δ)·d²/k; no division — coincident endpoints contribute 0)
-    adx = F.col("x") - F.col("ox")
-    ady = F.col("y") - F.col("oy")
-    ad = F.sqrt(adx * adx + ady * ady)
-    att_rows = (
-        sym.join(pos.select(F.col("id").alias("src"), "x", "y"), "src")
-        .join(
-            pos.select(
-                F.col("id").alias("dst"),
-                F.col("x").alias("ox"),
-                F.col("y").alias("oy"),
-            ),
-            "dst",
-        )
-        .select(
-            F.col("src").alias("id"),
-            (-adx * ad / F.lit(k)).alias("fx"),
-            (-ady * ad / F.lit(k)).alias("fy"),
-        )
-    )
-    disp = (
-        rep_rows.union(att_rows)
-        .groupBy("id")
-        .agg(F.sum("fx").alias("dx"), F.sum("fy").alias("dy"))
-    )
-    moved = pos.join(disp, "id", "left").select(
-        "id", "x", "y",
-        F.coalesce("dx", F.lit(0.0)).alias("dx"),
-        F.coalesce("dy", F.lit(0.0)).alias("dy"),
-    )
-    dlen = F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy"))
-    scale = F.when(dlen > F.lit(t), F.lit(t) / dlen).otherwise(F.lit(1.0))
-    return moved.select(
-        "id",
-        F.least(F.greatest(F.col("x") + F.col("dx") * scale, F.lit(0.0)), F.lit(width)).alias("x"),
-        F.least(F.greatest(F.col("y") + F.col("dy") * scale, F.lit(0.0)), F.lit(width)).alias("y"),
-    )
+    repulsion joins never degrade to a CartesianProduct). Registers the two
+    loop temp views and parses the SQL program (see `_fr_iteration_sql` for
+    why SQL text); assumes the session-exclusive use the loop already
+    documents."""
+    spark = pos.sparkSession
+    sym.createOrReplaceTempView("__pgs_fr_sym")
+    pos.createOrReplaceTempView("__pgs_fr_pos")
+    return spark.sql(_fr_iteration_sql(k, r_cut, t, width))
 
 
 def fr_layout_sql(
