@@ -139,31 +139,48 @@ def pagerank(
         .select("id", "outdeg")
         .persist()
     )
-    n = vstate.count()
-    n_dangling = vstate.filter(F.col("outdeg").isNull()).count()
+    # one setup job instead of two: count and dangling-count share a pass
+    nrow = vstate.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("outdeg").isNull(), F.lit(1))).alias("nd"),
+    ).first()
+    n = int(nrow["n"])
+    n_dangling = int(nrow["nd"] or 0)
     if n == 0:
         return PageRankResult(verts.select("id", F.lit(0.0).alias("rank")), 0, True)
 
-    # In-degree skew stats (one aggregation; contribs is keyed by dst with one
-    # row per edge, so this ratio is exactly the per-superstep gather skew —
-    # constant across supersteps, recorded in every manifest).
+    # In/out-degree skew stats in ONE aggregation pass (was two setup jobs):
+    # explode each edge into a (side, key) row and aggregate per side. The
+    # in-degree ratio is exactly the per-superstep gather skew (contribs is
+    # keyed by dst, one row per edge); the out-degree ratio is the hub-block
+    # straggler signal the side salting fixes — outdeg counts EDGES per src
+    # even in weighted mode (block size, not mass, skews a task). `indeg` is
+    # kept as a definition for the opt-in salted-agg branch below.
     indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
-    istats = indeg.agg(
-        F.max("indeg").alias("mx"), F.avg("indeg").alias("avg")
-    ).first()
-    max_indeg = int(istats["mx"] or 0)
-    avg_indeg = float(istats["avg"] or 1.0)
+    srows = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("s").alias("side"), F.col("src").alias("k")),
+                    F.struct(F.lit("d").alias("side"), F.col("dst").alias("k")),
+                )
+            ).alias("e")
+        )
+        .groupBy("e.side", "e.k")
+        .agg(F.count("*").alias("c"))
+        .groupBy("side")
+        .agg(F.max("c").alias("mx"), F.avg("c").alias("avg"), F.sum("c").alias("tot"))
+        .collect()
+    )
+    stats_by_side = {r["side"]: r for r in srows}
+    istats = stats_by_side.get("d")
+    ostats = stats_by_side.get("s")
+    max_indeg = int(istats["mx"] or 0) if istats else 0
+    avg_indeg = float(istats["avg"] or 1.0) if istats else 1.0
     skew_ratio_dst = round(max_indeg / avg_indeg, 2) if avg_indeg else 1.0
-
-    # Out-degree skew (hub src = straggler edge block in the pre-partitioned
-    # join; the side salting actually fixes). outdeg counts EDGES per src even
-    # in weighted mode — block size, not mass, is what skews a task.
-    ostats = edges.groupBy("src").agg(F.count("*").alias("od")).agg(
-        F.max("od").alias("mx"), F.avg("od").alias("avg"), F.sum("od").alias("tot")
-    ).first()
-    max_outdeg = int(ostats["mx"] or 0)
-    avg_outdeg = float(ostats["avg"] or 1.0)
-    n_edges_total = int(ostats["tot"] or 0)
+    max_outdeg = int(ostats["mx"] or 0) if ostats else 0
+    avg_outdeg = float(ostats["avg"] or 1.0) if ostats else 1.0
+    n_edges_total = int(ostats["tot"] or 0) if ostats else 0
     skew_ratio_src = round(max_outdeg / avg_outdeg, 2) if avg_outdeg else 1.0
 
     salt_min_degree = int(os.environ.get("PGS_SALT_MIN_DEGREE", "100000"))

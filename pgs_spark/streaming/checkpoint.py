@@ -65,7 +65,9 @@ class CheckpointManager:
         second write_manifest call."""
         path = os.path.join(self.dir, f"state_{iteration:05d}{suffix}")
         state.write.mode("overwrite").parquet(path)
-        reread = self.spark.read.parquet(path)
+        # re-read with the schema we just wrote: skips the per-save driver
+        # footer-inference (~0.12s), which a superstep loop pays every round
+        reread = self.spark.read.schema(state.schema).parquet(path)
         reread._pgs_snapshot_path = path
         if not manifest:
             return reread
